@@ -1,0 +1,166 @@
+"""Camera: perspective/view matrices and batched primary-ray generation.
+
+TPU-native re-design of the reference's FPS camera (Math/Camera.hpp) and the
+RayGen OpenCL kernel (kernels/kernel_main.cl:277-287). Instead of one GPU
+work-item per pixel writing into a ray buffer, ``ray_directions`` produces the
+whole [H, W, 3] direction grid as a single fused jnp computation — XLA maps it
+onto the VPU; no kernel is needed.
+
+Interactive-input handling (mouse-look, WASDQE fly, "infinite mouse" wrap,
+Camera.hpp:47-93) is host-side state: ``Camera.updated`` applies the same
+pitch/yaw/position deltas.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import Array
+
+from clraytracer_tpu import math3d
+from clraytracer_tpu.config import CameraConfig
+
+_DEG2RAD = np.pi / 180.0
+
+
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Host-side camera state; matrices are plain numpy (cheap, per frame)."""
+
+    config: CameraConfig
+    width: int
+    height: int
+    position: np.ndarray
+    yaw_deg: float
+    pitch_deg: float
+
+    @classmethod
+    def create(cls, config: CameraConfig, width: int, height: int) -> "Camera":
+        return cls(
+            config=config,
+            width=width,
+            height=height,
+            position=np.asarray(config.position, np.float32),
+            yaw_deg=config.yaw_deg,
+            pitch_deg=config.pitch_deg,
+        )
+
+    # -- orientation ------------------------------------------------------
+
+    @property
+    def front(self) -> np.ndarray:
+        """Forward vector from yaw/pitch (reference Camera.hpp:74-77)."""
+        yaw = self.yaw_deg * _DEG2RAD
+        pitch = self.pitch_deg * _DEG2RAD
+        f = np.array(
+            [
+                np.cos(yaw) * np.cos(pitch),
+                np.sin(pitch),
+                np.sin(yaw) * np.cos(pitch),
+            ],
+            np.float32,
+        )
+        return f / np.linalg.norm(f)
+
+    @property
+    def right(self) -> np.ndarray:
+        r = np.cross(self.front, np.array([0.0, 1.0, 0.0], np.float32))
+        return r / np.linalg.norm(r)
+
+    @property
+    def up(self) -> np.ndarray:
+        u = np.cross(self.right, self.front)
+        return u / np.linalg.norm(u)
+
+    # -- matrices ----------------------------------------------------------
+
+    @property
+    def projection(self) -> np.ndarray:
+        return math3d.perspective_fov_rh(
+            self.config.vertical_fov_deg * _DEG2RAD,
+            float(self.width),
+            float(self.height),
+            self.config.near_clip,
+            self.config.far_clip,
+        )
+
+    @property
+    def view(self) -> np.ndarray:
+        return math3d.look_at_rh(
+            self.position, self.front, np.array([0.0, 1.0, 0.0], np.float32)
+        )
+
+    @property
+    def inverse_projection(self) -> np.ndarray:
+        return np.linalg.inv(self.projection).astype(np.float32)
+
+    @property
+    def inverse_view(self) -> np.ndarray:
+        return np.linalg.inv(self.view).astype(np.float32)
+
+    # -- movement (reference Camera.hpp:56-94) ------------------------------
+
+    def updated(
+        self,
+        mouse_delta: tuple[float, float] = (0.0, 0.0),
+        move: tuple[float, float, float] = (0.0, 0.0, 0.0),
+        dt: float = 1.0 / 60.0,
+        sensitivity: float = 20.0,
+    ) -> "Camera":
+        """Apply one tick of mouse-look + fly movement, returning a new camera.
+
+        ``move`` is (right, up, forward) in key units (D-A, E-Q, W-S).
+        """
+        pitch = self.pitch_deg - mouse_delta[1] * dt * sensitivity
+        yaw = self.yaw_deg + mouse_delta[0] * dt * sensitivity
+        pitch = float(np.clip(pitch, -89.0, 89.0))
+        speed = dt * 2.0
+        cam = dataclasses.replace(self, yaw_deg=yaw, pitch_deg=pitch)
+        pos = (
+            cam.position
+            + cam.right * (move[0] * speed)
+            + cam.up * (move[1] * speed)
+            + cam.front * (move[2] * speed)
+        )
+        return dataclasses.replace(cam, position=pos.astype(np.float32))
+
+
+def ray_directions(
+    inverse_view: Array, inverse_projection: Array, width: int, height: int
+) -> Array:
+    """[H, W, 3] normalized primary-ray directions.
+
+    Vectorized twin of the RayGen kernel (kernel_main.cl:277-287):
+    ``coord = (i/W, j/H) * 2 - 1``; unproject via inverseProjection; perspective
+    divide; rotate into world by inverseView; normalize. Row j is image row j
+    (rayIndex = j * W + i).
+    """
+    xs = (jnp.arange(width, dtype=jnp.float32) / width) * 2.0 - 1.0
+    ys = (jnp.arange(height, dtype=jnp.float32) / height) * 2.0 - 1.0
+    cx, cy = jnp.meshgrid(xs, ys, indexing="xy")  # [H, W]
+    ones = jnp.ones_like(cx)
+    coord = jnp.stack([cx, cy, ones, ones], axis=-1)  # [H, W, 4]
+    target = coord @ inverse_projection
+    target = target / target[..., 3:4]
+    world = target @ inverse_view
+    return math3d.normalize(world[..., :3])
+
+
+def screen_point_to_ray(
+    camera: Camera, x: float, y: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Unproject one screen point for picking (reference Camera.hpp:109-135).
+
+    Note the picking path flips y (mouse coords are top-down) — RayGen does
+    not; this matches ScreenPointToRay exactly.
+    """
+    cx = (x / camera.width) * 2.0 - 1.0
+    cy = (1.0 - y / camera.height) * 2.0 - 1.0
+    target = np.array([cx, cy, 1.0, 1.0], np.float32) @ camera.inverse_projection
+    target /= target[3]
+    world = target @ camera.inverse_view
+    d = world[:3] / np.linalg.norm(world[:3])
+    return camera.position.copy(), d.astype(np.float32)

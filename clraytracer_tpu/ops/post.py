@@ -1,0 +1,144 @@
+"""Post-processing chain: saturation → Reinhard-extended tone map → gamma →
+vignette, plus FXAA.
+
+jnp twins of the reference kernels (fused by XLA into one elementwise pass):
+
+* ``saturation`` — MathAndSTL.cl:154-158 (luma-sqrt pivot, change=1.2).
+* ``reinhard`` — extended Reinhard with max_white 0.8 plus an internal
+  pow(1/1.55) (MathAndSTL.cl:143-152).
+* ``gamma_correct`` — pow(1/1.2) (MathAndSTL.cl:160).
+* ``vignette`` — shadertoy-style uv falloff (MathAndSTL.cl:163-169).
+* ``fxaa`` — the reference implements FXAA but never calls it
+  (kernel_main.cl:294-340, 349); here it's implemented and toggleable.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+_MAX_WHITE = 0.8
+_LUMA_R = jnp.asarray([0.2126, 0.7152, 0.0722])
+_FXAA_LUMA = jnp.asarray([0.299, 0.587, 0.114])
+
+_FXAA_SPAN_MAX = 8.0
+_FXAA_REDUCE_MUL = 1.0 / 8.0
+_FXAA_REDUCE_MIN = 1.0 / 128.0
+
+
+def _luminance(rgb: Array) -> Array:
+    return jnp.einsum("...c,c->...", rgb, _LUMA_R)
+
+
+def saturation(rgb: Array, change: float = 1.2) -> Array:
+    p = jnp.sqrt(
+        rgb[..., 0] ** 2 * 0.299 + rgb[..., 1] ** 2 * 0.587 + rgb[..., 2] ** 2 * 0.114
+    )[..., None]
+    return p + (rgb - p) * change
+
+
+def reinhard(rgb: Array) -> Array:
+    l_old = _luminance(rgb)
+    numerator = l_old * (1.0 + l_old / (_MAX_WHITE * _MAX_WHITE))
+    l_new = numerator / (1.0 + l_old)
+    scaled = rgb * (l_new / jnp.where(l_old == 0.0, 1.0, l_old))[..., None]
+    return jnp.power(jnp.maximum(scaled, 0.0), 1.0 / 1.55)
+
+
+def gamma_correct(rgb: Array) -> Array:
+    return jnp.power(jnp.maximum(rgb, 0.0), 1.0 / 1.2)
+
+
+def vignette_mask(height: int, width: int) -> Array:
+    """[H, W] multiplicative vignette (MathAndSTL.cl:163-169)."""
+    u = (jnp.arange(width, dtype=jnp.float32) + 0.0) / width
+    v = (jnp.arange(height, dtype=jnp.float32) + 0.0) / height
+    uu, vv = jnp.meshgrid(u, v, indexing="xy")
+    fu = uu * (1.0 - uu)
+    fv = vv * (1.0 - vv)
+    vig = fu * fv * 15.0
+    return jnp.power(jnp.maximum(vig, 0.0), 0.15)
+
+
+def fxaa(img: Array) -> Array:
+    """FXAA over an [H, W, 3] image (kernel_main.cl:294-340).
+
+    Image-space neighbour fetches become array shifts; the sub-texel bilinear
+    taps of the original sample along ``dir`` at ±1/6 and ±1/2 texels.
+    """
+    h, w = img.shape[:2]
+
+    def shift2(a: Array, dy: int, dx: int) -> Array:
+        return jnp.roll(a, shift=(-dy, -dx), axis=(0, 1))
+
+    rgb_nw = shift2(img, -1, -1)
+    rgb_ne = shift2(img, -1, 1)
+    rgb_sw = shift2(img, 1, -1)
+    rgb_se = shift2(img, 1, 1)
+
+    def luma(a: Array) -> Array:
+        return jnp.einsum("...c,c->...", a, _FXAA_LUMA)
+
+    l_nw, l_ne, l_sw, l_se, l_m = map(luma, (rgb_nw, rgb_ne, rgb_sw, rgb_se, img))
+
+    dir_x = -((l_nw + l_ne) - (l_sw + l_se))
+    dir_y = (l_nw + l_sw) - (l_ne + l_se)
+    luma_sum = l_nw + l_ne + l_sw + l_se
+    dir_reduce = jnp.maximum(luma_sum * 0.25 * _FXAA_REDUCE_MUL, _FXAA_REDUCE_MIN)
+    rcp_dir_min = 1.0 / (jnp.minimum(jnp.abs(dir_x), jnp.abs(dir_y)) + dir_reduce)
+    d = jnp.stack([dir_x, dir_y], axis=-1) * rcp_dir_min[..., None]
+    d = jnp.clip(d, -_FXAA_SPAN_MAX, _FXAA_SPAN_MAX)  # in texel units
+
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+
+    def bilinear(dy: Array, dx: Array) -> Array:
+        fy = jnp.clip(ys + dy, 0.0, h - 1.0)
+        fx = jnp.clip(xs + dx, 0.0, w - 1.0)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        x1 = jnp.minimum(x0 + 1, w - 1)
+        wy = (fy - y0)[..., None]
+        wx = (fx - x0)[..., None]
+        p00 = img[y0, x0]
+        p01 = img[y0, x1]
+        p10 = img[y1, x0]
+        p11 = img[y1, x1]
+        return (
+            p00 * (1 - wy) * (1 - wx)
+            + p01 * (1 - wy) * wx
+            + p10 * wy * (1 - wx)
+            + p11 * wy * wx
+        )
+
+    rgb_a = 0.5 * (
+        bilinear(d[..., 1] * -0.166667, d[..., 0] * -0.166667)
+        + bilinear(d[..., 1] * 0.166667, d[..., 0] * 0.166667)
+    )
+    rgb_b = rgb_a * 0.5 + 0.25 * (
+        bilinear(d[..., 1] * -0.5, d[..., 0] * -0.5)
+        + bilinear(d[..., 1] * 0.5, d[..., 0] * 0.5)
+    )
+    l_b = luma(rgb_b)
+    l_min = jnp.minimum(l_m, jnp.minimum(jnp.minimum(l_nw, l_ne), jnp.minimum(l_sw, l_se)))
+    l_max = jnp.maximum(l_m, jnp.maximum(jnp.maximum(l_nw, l_ne), jnp.maximum(l_sw, l_se)))
+    use_a = (l_b < l_min) | (l_b > l_max)
+    return jnp.where(use_a[..., None], rgb_a, rgb_b)
+
+
+def post_process(
+    img: Array, enable_fxaa: bool = False, enable_vignette: bool = True
+) -> Array:
+    """Full chain over an [H, W, 3] linear image (kernel_main.cl:342-359)."""
+    rgb = img
+    if enable_fxaa:
+        rgb = fxaa(rgb)
+    rgb = saturation(rgb, 1.2)
+    rgb = reinhard(rgb)
+    rgb = gamma_correct(rgb)
+    if enable_vignette:
+        rgb = rgb * vignette_mask(img.shape[0], img.shape[1])[..., None]
+    return rgb

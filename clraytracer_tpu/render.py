@@ -1,0 +1,140 @@
+"""The render pipeline: RayGen → Trace (N bounces) → PostProcess.
+
+TPU-native equivalent of the reference's per-frame 3-kernel dispatch
+(Renderer.cpp:337-367): instead of three event-chained OpenCL kernels over a
+WxH grid, the whole frame is one jitted function over [H, W] ray arrays —
+XLA fuses ray generation, shading, and the post chain; the traversal core is
+pluggable (golden brute-force, XLA while-loop BVH, or the Pallas kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from clraytracer_tpu.camera import Camera, ray_directions
+from clraytracer_tpu.config import RenderConfig
+from clraytracer_tpu.ops.post import post_process
+from clraytracer_tpu.ops.shade import BounceState, initial_bounce_state, shade_hits
+from clraytracer_tpu.ops.trace_ref import SceneHit, trace_brute, trace_bvh
+from clraytracer_tpu.scene.types import Scene
+
+#: A tracer maps (scene, origins [..., 3], directions [..., 3]) → SceneHit.
+Tracer = Callable[[Scene, Array, Array], SceneHit]
+
+TRACERS: dict[str, Tracer] = {
+    "brute": trace_brute,
+    "bvh": trace_bvh,
+}
+
+
+def register_tracer(name: str, fn: Tracer) -> None:
+    TRACERS[name] = fn
+
+
+class FrameInputs(NamedTuple):
+    """Per-frame dynamic inputs (the reference's TraceArgs + matrices,
+    kernel_main.cl:9-14, Renderer.cpp:338-339)."""
+
+    inverse_view: Array  # [4, 4]
+    inverse_projection: Array  # [4, 4]
+    camera_position: Array  # [3]
+    sun_angle: Array  # []
+
+
+def frame_inputs_from_camera(camera: Camera, sun_angle: float) -> FrameInputs:
+    return FrameInputs(
+        inverse_view=jnp.asarray(camera.inverse_view),
+        inverse_projection=jnp.asarray(camera.inverse_projection),
+        camera_position=jnp.asarray(camera.position),
+        sun_angle=jnp.asarray(sun_angle, jnp.float32),
+    )
+
+
+def trace_image(
+    scene: Scene,
+    frame: FrameInputs,
+    width: int,
+    height: int,
+    bounces: int = 2,
+    tracer: Tracer = trace_bvh,
+    reference_parity: bool = True,
+) -> Array:
+    """Linear [H, W, 3] radiance before post-processing — the Trace kernel's
+    output image (kernel_main.cl:164-275)."""
+    dirs = ray_directions(frame.inverse_view, frame.inverse_projection, width, height)
+    origin = jnp.broadcast_to(frame.camera_position, dirs.shape)
+    state = initial_bounce_state(origin, dirs, frame.sun_angle)
+
+    for _ in range(bounces):
+        hit = tracer(scene, state.origin, state.direction)
+        state = shade_hits(
+            scene,
+            state,
+            t=hit.t,
+            u=hit.u,
+            v=hit.v,
+            tri_idx=hit.tri,
+            instance_idx=hit.instance,
+            hit=hit.hit,
+            mesh_origin=hit.mesh_origin,
+            mesh_direction=hit.mesh_direction,
+            reference_parity=reference_parity,
+        )
+    return state.result
+
+
+def render_frame(
+    scene: Scene,
+    frame: FrameInputs,
+    config: RenderConfig,
+    tracer: Tracer = trace_bvh,
+) -> Array:
+    """Full frame: trace + post chain. Returns [H, W, 3] display-ready."""
+    img = trace_image(
+        scene,
+        frame,
+        config.width,
+        config.height,
+        bounces=config.bounces,
+        tracer=tracer,
+        reference_parity=config.reference_parity_shading,
+    )
+    if config.enable_post:
+        img = post_process(img, enable_fxaa=config.enable_fxaa)
+    return img
+
+
+@functools.partial(jax.jit, static_argnames=("config", "tracer_name"))
+def render_frame_jit(
+    scene: Scene, frame: FrameInputs, config: RenderConfig, tracer_name: str = "bvh"
+) -> Array:
+    return render_frame(scene, frame, config, tracer=TRACERS[tracer_name])
+
+
+def render(
+    scene: Scene,
+    camera: Camera,
+    config: RenderConfig,
+    tracer_name: str = "bvh",
+) -> np.ndarray:
+    """Convenience entry: returns an [H, W, 3] float numpy image."""
+    frame = frame_inputs_from_camera(camera, config.sun_angle)
+    img = render_frame_jit(scene, frame, config, tracer_name)
+    return np.asarray(img)
+
+
+def to_srgb_u8(img: np.ndarray) -> np.ndarray:
+    return (np.clip(np.asarray(img), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+
+
+def save_png(path: str, img: np.ndarray) -> None:
+    from PIL import Image
+
+    Image.fromarray(to_srgb_u8(img)).save(path)

@@ -1,0 +1,302 @@
+"""SceneBuilder: the TPU-native ResourceManager.
+
+Mirrors the reference's resource flow (ResourceManager.cpp): import meshes
+into a shared triangle arena, append MTL materials to a global material table
+(ImportMesh, ResourceManager.cpp:241-276), pack textures into one texel pool
+(ImportTexture, ResourceManager.cpp:180-222), register transformed instances
+with cached inverse matrices (Renderer.cpp:226-241), then "push": build the
+BVH forest and materialize one immutable device-ready ``Scene`` pytree
+(PushMeshesToGPU, ResourceManager.cpp:280-300 — here the "GPU push" is simply
+``jax.device_put`` of the arrays).
+
+Material handles follow the reference: material 0 is the prepared default
+(PrepareMeshes, ResourceManager.cpp:224-232), ``DEFAULT_MATERIAL`` (0xFFFF)
+resolves to the instance's mesh material block (Renderer.cpp:231-233).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from clraytracer_tpu import math3d
+from clraytracer_tpu.config import PoolConfig
+from clraytracer_tpu.scene import cache as mesh_cache
+from clraytracer_tpu.scene.procedural import MeshData
+from clraytracer_tpu.scene.textures import AtlasBuilder
+from clraytracer_tpu.scene.types import (
+    BVH,
+    Instances,
+    Materials,
+    Scene,
+    TextureAtlas,
+    Triangles,
+)
+from clraytracer_tpu.bvh import build_bvh
+from clraytracer_tpu.utils.logging import get_logger
+
+#: Reference ResourceManager::DefaultMaterial sentinel (ResourceManager.hpp:88).
+DEFAULT_MATERIAL = 0xFFFF
+NONE_MATERIAL = 0
+
+WHITE_TEXTURE = 0
+BLACK_TEXTURE = 1
+
+
+@dataclasses.dataclass
+class _MatRec:
+    albedo: np.ndarray
+    specular: np.ndarray
+    albedo_tex: int
+    specular_tex: int
+    shininess: float
+    roughness: float
+
+
+@dataclasses.dataclass
+class _InstanceRec:
+    mesh: int
+    material_start: int
+    transform: np.ndarray
+
+
+class SceneBuilder:
+    """Accumulates meshes/textures/materials/instances; ``build()`` produces
+    an immutable Scene."""
+
+    def __init__(self, pools: PoolConfig | None = None) -> None:
+        self.pools = pools or PoolConfig()
+        self.atlas = AtlasBuilder(max_texels=self.pools.max_texel_bytes // 3)
+        self._meshes: list[MeshData] = []
+        self._mesh_material_start: list[int] = []
+        self._materials: list[_MatRec] = []
+        self._instances: list[_InstanceRec] = []
+        self._prepare_default_material()
+
+    # -- materials ----------------------------------------------------------
+
+    def _prepare_default_material(self) -> None:
+        """Material 0 (reference PrepareMeshes, ResourceManager.cpp:224-232):
+        packed color 0x00FF0037 → rgb (55, 0, 255), specular (250, 228, 210),
+        shininess 1.2, roughness 0.8, white albedo / black specular texture."""
+        self._materials.append(
+            _MatRec(
+                albedo=np.array([55, 0, 255], np.float32) / 255.0,
+                specular=np.array([250, 228, 210], np.float32) / 255.0,
+                albedo_tex=WHITE_TEXTURE,
+                specular_tex=BLACK_TEXTURE,
+                shininess=1.2,
+                roughness=0.8,
+            )
+        )
+
+    def create_material(
+        self,
+        albedo: tuple[float, float, float] = (1.0, 1.0, 1.0),
+        specular: tuple[float, float, float] = (1.0, 1.0, 1.0),
+        albedo_tex: int = WHITE_TEXTURE,
+        specular_tex: int = WHITE_TEXTURE,
+        shininess: float = 2.2,
+        roughness: float = 0.6,
+    ) -> int:
+        """ResourceManager::CreateMaterial equivalent; returns the handle."""
+        if len(self._materials) >= self.pools.max_materials:
+            raise MemoryError("material pool overflow (reference MaxMaterials)")
+        self._materials.append(
+            _MatRec(
+                albedo=np.asarray(albedo, np.float32),
+                specular=np.asarray(specular, np.float32),
+                albedo_tex=albedo_tex,
+                specular_tex=specular_tex,
+                shininess=shininess,
+                roughness=roughness,
+            )
+        )
+        return len(self._materials) - 1
+
+    def edit_material(self, handle: int, **updates: object) -> None:
+        """Live material editing (reference EditMaterial + PushMaterialsToGPU,
+        ResourceManager.cpp:102-143): on the next build/refresh the updated
+        table ships to device."""
+        rec = self._materials[handle]
+        for k, v in updates.items():
+            if not hasattr(rec, k):
+                raise AttributeError(k)
+            setattr(rec, k, np.asarray(v, np.float32) if k in ("albedo", "specular") else v)
+
+    # -- textures -------------------------------------------------------------
+
+    def import_texture(self, source: str | Path | np.ndarray) -> int:
+        """Decode + append to the texel pool; returns the texture handle."""
+        if len(self.atlas._width) >= self.pools.max_textures:
+            raise MemoryError("texture pool overflow (reference MaxTextures)")
+        if isinstance(source, np.ndarray):
+            return self.atlas.add_image(source)
+        return self.atlas.load_image(source)
+
+    # -- meshes ---------------------------------------------------------------
+
+    def add_mesh(self, mesh: MeshData, materials_start: int | None = None) -> int:
+        """Add a triangle soup; returns the mesh handle.
+
+        ``materials_start``: index of the mesh's material block in the global
+        table (None → 0, i.e. local material indices address the default)."""
+        total = sum(m.count for m in self._meshes) + mesh.count
+        if total > self.pools.max_triangles:
+            raise MemoryError("triangle pool overflow (reference MAX_TRIANGLES)")
+        self._meshes.append(mesh)
+        self._mesh_material_start.append(
+            0 if materials_start is None else materials_start
+        )
+        return len(self._meshes) - 1
+
+    def import_mesh(self, path: str | Path, use_cache: bool = True) -> int:
+        """Import an OBJ/cached mesh and register its materials + textures
+        (reference ImportMesh, ResourceManager.cpp:241-276)."""
+        path = Path(path)
+        obj = mesh_cache.import_mesh(path, use_cache=use_cache)
+        mat_start = len(self._materials) if obj.materials else 0
+        for om in obj.materials:
+            albedo_tex = WHITE_TEXTURE
+            specular_tex = WHITE_TEXTURE
+            if om.diffuse_map:
+                tex_path = path.parent / om.diffuse_map
+                if tex_path.exists():
+                    albedo_tex = self.import_texture(tex_path)
+                else:
+                    get_logger().warning("missing diffuse map %s", tex_path)
+            if om.specular_map:
+                tex_path = path.parent / om.specular_map
+                if tex_path.exists():
+                    specular_tex = self.import_texture(tex_path)
+            self.create_material(
+                albedo=tuple(om.diffuse),
+                specular=tuple(om.specular),
+                albedo_tex=albedo_tex,
+                specular_tex=specular_tex,
+                shininess=om.shininess,
+                roughness=om.roughness,
+            )
+        return self.add_mesh(obj.mesh, materials_start=mat_start)
+
+    # -- instances -------------------------------------------------------------
+
+    def add_instance(
+        self,
+        mesh: int,
+        transform: np.ndarray | None = None,
+        material: int = DEFAULT_MATERIAL,
+    ) -> int:
+        """RegisterMeshInstance equivalent (Renderer.cpp:226-241): caches the
+        inverse transform; DEFAULT_MATERIAL resolves to the mesh's block."""
+        if len(self._instances) >= self.pools.max_instances:
+            raise MemoryError("instance pool overflow (reference MaxNumInstances)")
+        if material == DEFAULT_MATERIAL:
+            material = self._mesh_material_start[mesh]
+        m = np.eye(4, dtype=np.float32) if transform is None else np.asarray(
+            transform, np.float32
+        )
+        self._instances.append(_InstanceRec(mesh=mesh, material_start=material, transform=m))
+        return len(self._instances) - 1
+
+    def set_instance_transform(self, handle: int, transform: np.ndarray) -> None:
+        """SetMeshMatrix equivalent (Renderer.cpp:288-298). The per-frame
+        "dirty range upload" becomes rebuilding the small instance arrays."""
+        self._instances[handle].transform = np.asarray(transform, np.float32)
+
+    def instance_arrays(self) -> Instances:
+        """Host-side instance table; cheap to rebuild every frame (the
+        analogue of the dirty-range clEnqueueWriteBuffer, Renderer.cpp:312-320)."""
+        if self._instances:
+            inv = np.stack(
+                [
+                    np.linalg.inv(rec.transform).astype(np.float32)
+                    for rec in self._instances
+                ]
+            )
+            mat_start = np.array([r.material_start for r in self._instances], np.int32)
+        else:
+            inv = np.zeros((0, 4, 4), np.float32)
+            mat_start = np.zeros(0, np.int32)
+        return Instances(
+            inverse_transform=jnp.asarray(inv),
+            material_start=jnp.asarray(mat_start),
+            mesh_index=tuple(int(r.mesh) for r in self._instances),
+        )
+
+    # -- build -------------------------------------------------------------------
+
+    def build(self, max_leaf: int | None = None, min_leaf: int = 1) -> Scene:
+        """Build BVHs + finalize device arrays (PushMeshesToGPU +
+        PushTexturesToGPU + PushMaterialsToGPU rolled into one)."""
+        assert self._meshes, "no meshes added"
+        concat = self._meshes[0]
+        for m in self._meshes[1:]:
+            concat = concat.concat(m)
+        counts = [m.count for m in self._meshes]
+
+        build = build_bvh(
+            concat.v0, concat.v1, concat.v2, counts,
+            min_leaf=min_leaf, max_leaf=max_leaf,
+        )
+        p = build.perm
+
+        tris = Triangles(
+            v0=jnp.asarray(concat.v0[p]),
+            v1=jnp.asarray(concat.v1[p]),
+            v2=jnp.asarray(concat.v2[p]),
+            uv0=jnp.asarray(math3d.to_half(concat.uv0[p])),
+            uv1=jnp.asarray(math3d.to_half(concat.uv1[p])),
+            uv2=jnp.asarray(math3d.to_half(concat.uv2[p])),
+            n0=jnp.asarray(math3d.to_half(concat.n0[p])),
+            n1=jnp.asarray(math3d.to_half(concat.n1[p])),
+            n2=jnp.asarray(math3d.to_half(concat.n2[p])),
+            mat_idx=jnp.asarray(concat.mat_idx[p]),
+        )
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+        bvh = BVH(
+            node_min=jnp.asarray(build.node_min),
+            node_max=jnp.asarray(build.node_max),
+            left_first=jnp.asarray(build.left_first),
+            tri_count=jnp.asarray(build.tri_count),
+            roots=tuple(int(r) for r in build.roots),
+            mesh_tri_start=tuple(int(s) for s in starts),
+            mesh_tri_count=tuple(int(cn) for cn in counts),
+        )
+
+        texels_u8, width, height, offset = self.atlas.build()
+        atlas = TextureAtlas(
+            texels=jnp.asarray(texels_u8.astype(np.float32) / 255.0),
+            width=jnp.asarray(width),
+            height=jnp.asarray(height),
+            offset=jnp.asarray(offset),
+        )
+
+        albedo = np.stack([m.albedo for m in self._materials])
+        specular = np.stack([m.specular for m in self._materials])
+        materials = Materials(
+            albedo=jnp.asarray(albedo),
+            specular=jnp.asarray(specular),
+            albedo_tex=jnp.asarray([m.albedo_tex for m in self._materials], jnp.int32),
+            specular_tex=jnp.asarray(
+                [m.specular_tex for m in self._materials], jnp.int32
+            ),
+            shininess=jnp.asarray([m.shininess for m in self._materials], jnp.float32),
+            roughness=jnp.asarray([m.roughness for m in self._materials], jnp.float32),
+            color_u32=jnp.asarray(math3d.pack_rgb_u32(albedo), jnp.uint32),
+            specular_u32=jnp.asarray(math3d.pack_rgb_u32(specular), jnp.uint32),
+        )
+
+        skybox = 2 if self.atlas.num_textures > 2 else WHITE_TEXTURE
+        return Scene(
+            tris=tris,
+            bvh=bvh,
+            materials=materials,
+            atlas=atlas,
+            instances=self.instance_arrays(),
+            skybox_tex=skybox,
+        )

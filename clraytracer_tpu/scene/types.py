@@ -1,0 +1,186 @@
+"""Scene data model: SoA pytrees for triangles, BVH, materials, textures,
+instances.
+
+The reference packs everything into AoS records tuned for SSE loads — ``Tri``
+is 3 x __m128 vertices with centroids hidden in the .w lanes plus half uv /
+normals (ResourceManager.hpp:54-67); ``BVHNode`` bit-casts leftFirst/triCount
+into the .w lanes of min/max float4s (ResourceManager.hpp:7-11). On TPU the
+same data is laid out as separate flat arrays (structure-of-arrays) so that
+gathers fetch only what a stage needs and every op vectorizes across the
+ray/triangle axis.
+
+Canonical material/texel storage is **float** (differentiable — gradients flow
+to these leaves); packed u32 colors are derived views used by the
+reference-parity integer shading mode and picking.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax.numpy as jnp
+from jax import Array
+
+from clraytracer_tpu.utils.pytree import pytree_dataclass, static_field
+
+#: Miss sentinel distance (reference Infinite=99999 / RayacastMissDistance=1e30;
+#: kernels/MathAndSTL.cl:123, CPURayTrace.hpp:14). We standardise on 1e30 and
+#: treat anything above HIT_EPSILON * inf as miss.
+MISS_DISTANCE = 1e30
+
+
+@pytree_dataclass
+class Triangles:
+    """Triangle soup, SoA. One entry per triangle; meshes are contiguous
+    ranges (reference Tri arena, ResourceManager.cpp:149).
+
+    uv*/n* are stored float16 to mirror the reference's half attributes
+    (AssetManager.cpp:270-274); compute casts to f32.
+    """
+
+    v0: Array  # [T, 3] f32 vertex positions
+    v1: Array  # [T, 3] f32
+    v2: Array  # [T, 3] f32
+    uv0: Array  # [T, 2] f16
+    uv1: Array  # [T, 2] f16
+    uv2: Array  # [T, 2] f16
+    n0: Array  # [T, 3] f16 vertex normals
+    n1: Array  # [T, 3] f16
+    n2: Array  # [T, 3] f16
+    mat_idx: Array  # [T] i32 material index local to the owning mesh
+
+    @property
+    def count(self) -> int:
+        return self.v0.shape[0]
+
+    def centroids(self) -> Array:
+        """Triangle centroids (reference BVH.cpp:229-235 precompute)."""
+        return (self.v0 + self.v1 + self.v2) * (1.0 / 3.0)
+
+
+@pytree_dataclass
+class BVH:
+    """Flattened BVH forest: one root per mesh into a shared node pool.
+
+    Mirrors the reference layout (BVH.cpp:239-252): children are adjacent
+    (right = left + 1); ``tri_count > 0`` marks a leaf whose triangles are
+    ``[left_first, left_first + tri_count)`` in the (reordered) triangle
+    arrays. leftFirst/triCount live in their own i32 arrays instead of
+    bit-cast float lanes.
+    """
+
+    node_min: Array  # [N, 3] f32
+    node_max: Array  # [N, 3] f32
+    left_first: Array  # [N] i32
+    tri_count: Array  # [N] i32
+    #: Root node index per mesh (reference bvhIndices) and per-mesh triangle
+    #: ranges (reference MeshInfo.{triangleStart,numTriangles}). Static pytree
+    #: metadata: tracers unroll the instance loop over these host-side ints.
+    roots: tuple[int, ...] = static_field(default=())
+    mesh_tri_start: tuple[int, ...] = static_field(default=())
+    mesh_tri_count: tuple[int, ...] = static_field(default=())
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_min.shape[0]
+
+
+@pytree_dataclass
+class TextureAtlas:
+    """Packed texel pool: every texture appended to one flat array and
+    addressed by {width, height, offset} records — the reference's design
+    (ResourceManager.cpp:180-222, MathAndSTL.cl:229-266), which maps directly
+    onto TPU flat gathers.
+
+    ``texels`` are float RGB in [0,1] (differentiable). ``texels_u8`` in the
+    builder derives the byte view for parity-mode integer math.
+    """
+
+    texels: Array  # [P, 3] f32 in [0, 1]
+    width: Array  # [K] i32
+    height: Array  # [K] i32
+    offset: Array  # [K] i32 texel offset into the pool
+
+    @property
+    def num_textures(self) -> int:
+        return self.width.shape[0]
+
+
+@pytree_dataclass
+class Materials:
+    """Material table (reference Material, ResourceManager.hpp:44-51).
+
+    Float RGB is canonical; ``color_u32``/``specular_u32`` are packed derived
+    views kept for the reference-parity integer modulate
+    (MathAndSTL.cl:243-249) and for picking records.
+    """
+
+    albedo: Array  # [M, 3] f32 in [0, 1]
+    specular: Array  # [M, 3] f32 in [0, 1]
+    albedo_tex: Array  # [M] i32 texture index
+    specular_tex: Array  # [M] i32
+    shininess: Array  # [M] f32 (reference stores half; Ns clamped 0-100 / 50)
+    roughness: Array  # [M] f32 (reference stores half; from MTL 'd')
+    color_u32: Array  # [M] u32 packed 0x00BBGGRR
+    specular_u32: Array  # [M] u32
+
+    @property
+    def count(self) -> int:
+        return self.albedo.shape[0]
+
+
+@pytree_dataclass
+class Instances:
+    """Mesh instance registry (reference MeshInstance, Renderer.hpp:6-10):
+    cached inverse transforms so rays move into object space
+    (kernel_main.cl:205-207) instead of transforming meshes."""
+
+    inverse_transform: Array  # [I, 4, 4] f32 (row-vector convention)
+    material_start: Array  # [I] i32
+    #: Mesh handle per instance — static metadata (tracers resolve each
+    #: instance's BVH root / triangle range host-side and unroll).
+    mesh_index: tuple[int, ...] = static_field(default=())
+
+    @property
+    def count(self) -> int:
+        return self.inverse_transform.shape[0]
+
+
+@pytree_dataclass
+class Scene:
+    """Complete renderable scene state — the single pytree handed to jitted
+    render/trace functions (and sharded/replicated across the device mesh)."""
+
+    tris: Triangles
+    bvh: BVH
+    materials: Materials
+    atlas: TextureAtlas
+    instances: Instances
+    #: Texture index used for the equirect skybox (reference hardcodes
+    #: textures[2], kernel_main.cl:220).
+    skybox_tex: int = static_field(default=2)
+
+    @property
+    def num_instances(self) -> int:
+        return self.instances.count
+
+
+def as_device_scene(scene: Scene) -> Scene:
+    """Move all scene leaves onto the default device(s)."""
+    import jax
+
+    return jax.tree_util.tree_map(jnp.asarray, scene)
+
+
+def scene_summary(scene: Scene) -> dict[str, Any]:
+    return {
+        "triangles": int(scene.tris.count),
+        "bvh_nodes": int(scene.bvh.num_nodes),
+        "meshes": int(np.asarray(scene.bvh.roots).shape[0]),
+        "materials": int(scene.materials.count),
+        "textures": int(scene.atlas.num_textures),
+        "texels": int(scene.atlas.texels.shape[0]),
+        "instances": int(scene.instances.count),
+    }
