@@ -260,9 +260,17 @@ def build_bvh(
             node_min[f_node] = np.minimum.reduceat(tvmin[perm[gather]], seg_offsets)
             node_max[f_node] = np.maximum.reduceat(tvmax[perm[gather]], seg_offsets)
 
+    # Pad boxes by a tiny relative epsilon: perfectly flat (planar) nodes
+    # otherwise fail the strict slab test tnear < tfar (kernel_main.cl:115)
+    # for rays in the plane-normal direction — e.g. axis-aligned cube faces.
+    # Padding keeps traversal conservative (extra visits, never lost hits).
+    scene_extent = float(
+        np.max(node_max[:n_nodes] - node_min[:n_nodes], initial=1.0)
+    )
+    pad = np.float32(max(scene_extent, 1.0) * 1e-5)
     return BVHBuild(
-        node_min=node_min[:n_nodes].copy(),
-        node_max=node_max[:n_nodes].copy(),
+        node_min=node_min[:n_nodes].copy() - pad,
+        node_max=node_max[:n_nodes].copy() + pad,
         left_first=left_first[:n_nodes].astype(np.int32),
         tri_count=tri_count[:n_nodes].astype(np.int32),
         roots=roots.astype(np.int32),

@@ -63,16 +63,17 @@ def save_mesh_cache(path: str | Path, obj: ObjMesh) -> Path:
     """Write the compressed cache next to ``path``."""
     cache_path = Path(path).with_suffix(CACHE_SUFFIX)
     m = obj.mesh
-    np.savez_compressed(
-        cache_path,
-        version=np.int32(CACHE_VERSION),
-        materials=np.frombuffer(
-            _materials_to_json(obj.materials).encode(), np.uint8
-        ),
-        **{
-            f.name: getattr(m, f.name) for f in dataclasses.fields(MeshData)
-        },
-    )
+    with open(cache_path, "wb") as fh:  # np.savez would append '.npz' to a path
+        np.savez_compressed(
+            fh,
+            version=np.int32(CACHE_VERSION),
+            materials=np.frombuffer(
+                _materials_to_json(obj.materials).encode(), np.uint8
+            ),
+            **{
+                f.name: getattr(m, f.name) for f in dataclasses.fields(MeshData)
+            },
+        )
     return cache_path
 
 

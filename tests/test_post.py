@@ -1,0 +1,71 @@
+"""Post-chain math tests (kernel_main.cl:342-359, MathAndSTL.cl:130-169)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from clraytracer_tpu.ops.post import (
+    fxaa,
+    gamma_correct,
+    post_process,
+    reinhard,
+    saturation,
+    vignette_mask,
+)
+
+
+def test_saturation_identity_at_change_one():
+    rgb = jnp.asarray([[[0.3, 0.5, 0.7]]])
+    np.testing.assert_allclose(saturation(rgb, 1.0), rgb, atol=1e-6)
+
+
+def test_saturation_grays_at_change_zero():
+    rgb = jnp.asarray([[[0.8, 0.1, 0.4]]])
+    out = np.asarray(saturation(rgb, 0.0))[0, 0]
+    assert np.allclose(out, out[0])  # fully desaturated → gray
+
+
+def test_reinhard_matches_scalar_reference():
+    x = np.array([0.5, 0.25, 0.125], np.float32)
+    l_old = 0.2126 * x[0] + 0.7152 * x[1] + 0.0722 * x[2]
+    numerator = l_old * (1.0 + l_old / (0.8 * 0.8))
+    l_new = numerator / (1.0 + l_old)
+    expect = (x * (l_new / l_old)) ** (1 / 1.55)
+    got = np.asarray(reinhard(jnp.asarray(x[None, None])))[0, 0]
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+
+def test_gamma():
+    np.testing.assert_allclose(
+        np.asarray(gamma_correct(jnp.asarray([0.5]))), [0.5 ** (1 / 1.2)], rtol=1e-6
+    )
+
+
+def test_vignette_darkens_corners():
+    m = np.asarray(vignette_mask(64, 64))
+    assert m[32, 32] > m[1, 1]
+    assert m[32, 32] > 0.9
+    assert (m >= 0).all() and (m <= 1.2).all()
+
+
+def test_fxaa_preserves_flat_regions():
+    img = jnp.full((16, 16, 3), 0.5)
+    out = np.asarray(fxaa(img))
+    np.testing.assert_allclose(out, 0.5, atol=1e-5)
+
+
+def test_fxaa_smooths_diagonal_edges():
+    # FXAA blurs along the detected edge direction, so a staircase diagonal
+    # changes while flat regions stay put
+    yy, xx = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+    img = ((xx + yy) >= 16).astype(np.float32)[..., None] * np.ones(3)
+    out = np.asarray(fxaa(jnp.asarray(img.astype(np.float32))))
+    diff = np.abs(out - img).max()
+    assert diff > 0.05  # some smoothing happened
+    assert np.isfinite(out).all()
+
+
+def test_post_process_pipeline_shapes():
+    img = jnp.asarray(np.random.default_rng(0).uniform(0, 2, (12, 16, 3)), jnp.float32)
+    out = np.asarray(post_process(img, enable_fxaa=True))
+    assert out.shape == (12, 16, 3)
+    assert np.isfinite(out).all()
