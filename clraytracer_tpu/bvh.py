@@ -196,8 +196,13 @@ def build_bvh(
         parent_cost = f_count * _half_area(bounds_min, bounds_max)
         do_split = np.isfinite(best_cost) & (best_cost < parent_cost)
         do_split &= f_count > min_leaf
+        forced = np.zeros_like(do_split)
         if max_leaf is not None:
-            do_split |= (f_count > max_leaf) & np.isfinite(best_cost)
+            # max_leaf is a hard bound (TPU tracers unroll leaf batches):
+            # oversize nodes split even when SAH prefers a leaf, falling back
+            # to an object-median split when no SAH plane exists.
+            forced = f_count > max_leaf
+            do_split |= forced
         do_split &= f_count >= 2
 
         if not do_split.any():
@@ -205,23 +210,28 @@ def build_bvh(
 
         # ---- stable in-place partition across all splitting nodes at once
         split_seg = do_split[seg_id]
-        side = np.where(
-            split_seg,
-            ca[np.arange(len(seg_id)), best_axis[seg_id]]
-            >= split_pos[seg_id],
-            False,
-        )
-        order = np.lexsort((side, seg_id))
-        perm[gather] = perm[gather][order]
+        rank = np.arange(len(seg_id)) - seg_offsets[seg_id]
+        sah_side = ca[np.arange(len(seg_id)), best_axis[seg_id]] >= split_pos[seg_id]
+        median_side = rank >= (f_count[seg_id] // 2)
+        use_median_seg = forced & ~np.isfinite(best_cost)
+        side = np.where(split_seg, np.where(use_median_seg[seg_id], median_side, sah_side), False)
 
         left_sizes = np.bincount(seg_id[split_seg & ~side], minlength=F)
 
         # guard: SAH picked a plane but everything landed on one side
-        # (reference abort, BVH.cpp:199-201)
-        degenerate = do_split & (
-            (left_sizes == 0) | (left_sizes == f_count)
-        )
+        # (reference abort, BVH.cpp:199-201); forced nodes fall back to median
+        degenerate = do_split & ((left_sizes == 0) | (left_sizes == f_count))
+        retry_median = degenerate & forced & ~use_median_seg
+        if retry_median.any():
+            side = np.where(
+                split_seg & retry_median[seg_id], median_side, side
+            )
+            left_sizes = np.bincount(seg_id[split_seg & ~side], minlength=F)
+            degenerate = do_split & ((left_sizes == 0) | (left_sizes == f_count))
         do_split &= ~degenerate
+
+        order = np.lexsort((side, seg_id))
+        perm[gather] = perm[gather][order]
 
         ns = int(do_split.sum())
         if ns == 0:

@@ -23,6 +23,7 @@ from clraytracer_tpu.config import RenderConfig
 from clraytracer_tpu.ops.post import post_process
 from clraytracer_tpu.ops.shade import BounceState, initial_bounce_state, shade_hits
 from clraytracer_tpu.ops.trace_ref import SceneHit, trace_brute, trace_bvh
+from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
 from clraytracer_tpu.scene.types import Scene
 
 #: A tracer maps (scene, origins [..., 3], directions [..., 3]) → SceneHit.
@@ -30,7 +31,8 @@ Tracer = Callable[[Scene, Array, Array], SceneHit]
 
 TRACERS: dict[str, Tracer] = {
     "brute": trace_brute,
-    "bvh": trace_bvh,
+    "bvh": trace_bvh,  # per-ray vmapped twin of the reference (CPU golden)
+    "wavefront": trace_wavefront,  # batched lock-step traversal (default)
 }
 
 
@@ -63,7 +65,7 @@ def trace_image(
     width: int,
     height: int,
     bounces: int = 2,
-    tracer: Tracer = trace_bvh,
+    tracer: Tracer = trace_wavefront,
     reference_parity: bool = True,
 ) -> Array:
     """Linear [H, W, 3] radiance before post-processing — the Trace kernel's
@@ -94,7 +96,7 @@ def render_frame(
     scene: Scene,
     frame: FrameInputs,
     config: RenderConfig,
-    tracer: Tracer = trace_bvh,
+    tracer: Tracer = trace_wavefront,
 ) -> Array:
     """Full frame: trace + post chain. Returns [H, W, 3] display-ready."""
     img = trace_image(
@@ -113,7 +115,7 @@ def render_frame(
 
 @functools.partial(jax.jit, static_argnames=("config", "tracer_name"))
 def render_frame_jit(
-    scene: Scene, frame: FrameInputs, config: RenderConfig, tracer_name: str = "bvh"
+    scene: Scene, frame: FrameInputs, config: RenderConfig, tracer_name: str = "wavefront"
 ) -> Array:
     return render_frame(scene, frame, config, tracer=TRACERS[tracer_name])
 
@@ -122,7 +124,7 @@ def render(
     scene: Scene,
     camera: Camera,
     config: RenderConfig,
-    tracer_name: str = "bvh",
+    tracer_name: str = "wavefront",
 ) -> np.ndarray:
     """Convenience entry: returns an [H, W, 3] float numpy image."""
     frame = frame_inputs_from_camera(camera, config.sun_angle)

@@ -230,9 +230,13 @@ class SceneBuilder:
 
     # -- build -------------------------------------------------------------------
 
-    def build(self, max_leaf: int | None = None, min_leaf: int = 1) -> Scene:
+    def build(self, max_leaf: int | None = 4, min_leaf: int = 1) -> Scene:
         """Build BVHs + finalize device arrays (PushMeshesToGPU +
-        PushTexturesToGPU + PushMaterialsToGPU rolled into one)."""
+        PushTexturesToGPU + PushMaterialsToGPU rolled into one).
+
+        ``max_leaf`` defaults to 4: SAH leaves average 2-3 triangles anyway,
+        and a hard bound lets the wavefront/Pallas tracers intersect leaves
+        as fixed-width dense batches."""
         assert self._meshes, "no meshes added"
         concat = self._meshes[0]
         for m in self._meshes[1:]:
@@ -266,6 +270,7 @@ class SceneBuilder:
             roots=tuple(int(r) for r in build.roots),
             mesh_tri_start=tuple(int(s) for s in starts),
             mesh_tri_count=tuple(int(cn) for cn in counts),
+            max_leaf_size=int(build.tri_count.max(initial=1)),
         )
 
         texels_u8, width, height, offset = self.atlas.build()

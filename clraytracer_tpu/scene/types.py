@@ -81,6 +81,9 @@ class BVH:
     roots: tuple[int, ...] = static_field(default=())
     mesh_tri_start: tuple[int, ...] = static_field(default=())
     mesh_tri_count: tuple[int, ...] = static_field(default=())
+    #: Largest leaf in the forest (static): batched tracers unroll leaf
+    #: intersection to exactly this width.
+    max_leaf_size: int = static_field(default=0)
 
     @property
     def num_nodes(self) -> int:

@@ -139,3 +139,34 @@ def test_miss_samples_skybox(sphere_scene):
     # corner pixels are pure skybox: nonzero and not NaN
     assert np.isfinite(img).all()
     assert img[0, 0].max() > 0.01
+
+
+def test_wavefront_matches_brute_sphere(sphere_scene):
+    from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
+
+    _, o, d = _camera_rays(32, 24)
+    hb = trace_brute(sphere_scene, o, d)
+    hw = trace_wavefront(sphere_scene, o, d)
+    assert_hits_match(hb, hw)
+
+
+def test_wavefront_matches_brute_two_instances(two_instance_scene):
+    from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
+
+    _, o, d = _camera_rays(32, 24, position=(0.07, 1.11, 8.0))
+    hb = trace_brute(two_instance_scene, o, d)
+    hw = trace_wavefront(two_instance_scene, o, d)
+    assert np.asarray(hb.hit).sum() > 20
+    assert_hits_match(hb, hw)
+
+
+def test_wavefront_jits_and_matches_image(sphere_scene):
+    from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
+
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), 32, 24)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
+    img_b = np.asarray(trace_image(sphere_scene, frame, 32, 24, tracer=trace_brute))
+    fn = jax.jit(lambda s, f: trace_image(s, f, 32, 24, tracer=trace_wavefront))
+    img_w = np.asarray(fn(sphere_scene, frame))
+    close = np.isclose(img_b, img_w, atol=1e-3).all(axis=-1)
+    assert close.mean() > 0.99
