@@ -129,18 +129,29 @@ class Camera:
 
 
 def ray_directions(
-    inverse_view: Array, inverse_projection: Array, width: int, height: int
+    inverse_view: Array,
+    inverse_projection: Array,
+    width: int,
+    height: int,
+    row_start: Array | int = 0,
+    num_rows: int | None = None,
 ) -> Array:
-    """[H, W, 3] normalized primary-ray directions.
+    """[num_rows, W, 3] normalized primary-ray directions.
 
     Vectorized twin of the RayGen kernel (kernel_main.cl:277-287):
     ``coord = (i/W, j/H) * 2 - 1``; unproject via inverseProjection; perspective
     divide; rotate into world by inverseView; normalize. Row j is image row j
     (rayIndex = j * W + i).
+
+    ``row_start``/``num_rows`` select a row window of the full H-row grid —
+    how each device of a mesh generates only its shard of the pixel grid.
     """
+    if num_rows is None:
+        num_rows = height
     xs = (jnp.arange(width, dtype=jnp.float32) / width) * 2.0 - 1.0
-    ys = (jnp.arange(height, dtype=jnp.float32) / height) * 2.0 - 1.0
-    cx, cy = jnp.meshgrid(xs, ys, indexing="xy")  # [H, W]
+    rows = row_start + jnp.arange(num_rows, dtype=jnp.float32)
+    ys = (rows / height) * 2.0 - 1.0
+    cx, cy = jnp.meshgrid(xs, ys, indexing="xy")  # [num_rows, W]
     ones = jnp.ones_like(cx)
     coord = jnp.stack([cx, cy, ones, ones], axis=-1)  # [H, W, 4]
     target = coord @ inverse_projection

@@ -45,6 +45,9 @@ class RenderConfig:
     # Reproduce the reference kernel's hard-coded shading constants
     # (kernel_main.cl:248-250 override material specular/roughness/shininess).
     reference_parity_shading: bool = True
+    # Bit-faithful integer color modulate (non-differentiable); the float
+    # path is used for gradient work.
+    integer_colors: bool = True
 
     @property
     def resolution(self) -> Tuple[int, int]:

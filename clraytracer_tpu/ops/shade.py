@@ -111,6 +111,7 @@ def shade_hits(
     mesh_origin: Array,  # [..., 3] object-space ray origin of the hit instance
     mesh_direction: Array,  # [..., 3] object-space ray direction
     reference_parity: bool = True,
+    integer_colors: bool = True,
 ) -> BounceState:
     """Apply one bounce of shading + update throughput.
 
@@ -118,6 +119,11 @@ def shade_hits(
     the Phong block (kernel_main.cl:226-271). ``reference_parity`` keeps the
     kernel's hard-coded specular(0.2)/roughness(0.5)/shininess(1.0) overrides
     (kernel_main.cl:248-250); otherwise real material values are used.
+
+    ``integer_colors`` selects the reference's u8 color modulate
+    ((mat*texel)>>8, MathAndSTL.cl:243-249) — bit-faithful but
+    non-differentiable; the float path (texel * albedo) is used for gradient
+    work and is equal to within 1/255 quantization.
     """
     tris = scene.tris
     mats = scene.materials
@@ -164,10 +170,13 @@ def shade_hits(
     uv = bary_mix(g(tris.uv0), g(tris.uv1), g(tris.uv2))
 
     texel = sample_texture(scene.atlas, mg(mats.albedo_tex), uv)
-    # integer color modulate parity: ((mat_u8 * texel_u8) >> 8) / 255
-    color = math3d.multiply_color_u32(
-        jnp.round(texel * 255.0).astype(jnp.uint32), mg(mats.color_u32)
-    )
+    if integer_colors:
+        # integer color modulate parity: ((mat_u8 * texel_u8) >> 8) / 255
+        color = math3d.multiply_color_u32(
+            jnp.round(texel * 255.0).astype(jnp.uint32), mg(mats.color_u32)
+        )
+    else:
+        color = texel * mg(mats.albedo)
 
     if reference_parity:
         # kernel_main.cl:248-250 overrides material properties
@@ -176,9 +185,13 @@ def shade_hits(
         shininess = jnp.full_like(t, 1.0)
     else:
         spec_texel = sample_texture(scene.atlas, mg(mats.specular_tex), uv)
-        specular_color = math3d.multiply_color_u32(
-            jnp.round(spec_texel * 255.0).astype(jnp.uint32), mg(mats.specular_u32)
-        )
+        if integer_colors:
+            specular_color = math3d.multiply_color_u32(
+                jnp.round(spec_texel * 255.0).astype(jnp.uint32),
+                mg(mats.specular_u32),
+            )
+        else:
+            specular_color = spec_texel * mg(mats.specular)
         roughness = mg(mats.roughness)
         shininess = mg(mats.shininess)
 

@@ -79,13 +79,18 @@ def _merge(best: SceneHit, cand: SceneHit) -> SceneHit:
 
 
 def _empty_hit(shape: tuple[int, ...], origin: Array, direction: Array) -> SceneHit:
+    # derive zeros from the ray arrays (not fresh constants) so that under
+    # shard_map the state is device-varying from the start — while_loop
+    # carries must keep a consistent varying type
+    zero = (origin[..., 0] + direction[..., 0]) * 0.0
+    zero_i = zero.astype(jnp.int32)
     return SceneHit(
-        t=jnp.full(shape, MISS_DISTANCE, jnp.float32),
-        u=jnp.zeros(shape, jnp.float32),
-        v=jnp.zeros(shape, jnp.float32),
-        tri=jnp.zeros(shape, jnp.int32),
-        instance=jnp.zeros(shape, jnp.int32),
-        hit=jnp.zeros(shape, bool),
+        t=zero + MISS_DISTANCE,
+        u=zero,
+        v=zero,
+        tri=zero_i,
+        instance=zero_i,
+        hit=zero_i > 0,
         mesh_origin=origin,
         mesh_direction=direction,
     )

@@ -66,14 +66,20 @@ def _traverse_batch(
     # static leaf batch width, guaranteed by the builder's max_leaf bound
     leaf_size = max(1, int(bvh.max_leaf_size))
 
+    # init derived from the ray arrays so the carry is device-varying under
+    # shard_map from the first iteration (see trace_ref._empty_hit)
+    zero = (o[:, 0] + d[:, 0] + t_init) * 0.0
+    zero_i = zero.astype(jnp.int32)
     state = _WaveState(
-        stack=jnp.zeros((n, _STACK_SIZE), jnp.int32).at[:, 0].set(root),
-        sp=jnp.ones(n, jnp.int32),
+        stack=(jnp.zeros((n, _STACK_SIZE), jnp.int32) + zero_i[:, None])
+        .at[:, 0]
+        .set(root),
+        sp=zero_i + 1,
         t=t_init,
-        u=jnp.zeros(n, jnp.float32),
-        v=jnp.zeros(n, jnp.float32),
-        tri=jnp.zeros(n, jnp.int32),
-        hit=jnp.zeros(n, bool),
+        u=zero,
+        v=zero,
+        tri=zero_i,
+        hit=zero_i > 0,
         rounds=jnp.asarray(0, jnp.int32),
     )
 

@@ -1,0 +1,228 @@
+"""Device-mesh sharding: ray-grid data parallelism with replicated scene.
+
+The reference's only "communication backend" is one OpenCL command queue
+(SURVEY.md §5); here rendering scales over a ``jax.sharding.Mesh``:
+
+* **Forward**: image rows are sharded over the ``devices`` axis. Each device
+  generates its own row window of primary rays (no host scatter), traverses
+  the replicated BVH independently inside ``shard_map`` (no per-round
+  cross-device sync — each shard runs its own traversal loop), and writes its
+  image shard. The only collective is the implicit output layout.
+* **Backward / training** (inverse rendering — the framework's "training
+  step"): per-device gradients over local rays are ``psum``-reduced over ICI
+  and applied to the replicated scene parameters — classic data-parallel
+  all-reduce, overlapped by XLA's scheduler.
+
+Multi-host: the same code runs under ``jax.distributed`` initialization —
+the mesh spans all hosts' devices and DCN carries the psum across hosts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clraytracer_tpu.camera import ray_directions
+from clraytracer_tpu.config import RenderConfig
+from clraytracer_tpu.diff import make_differentiable_tracer
+from clraytracer_tpu.ops.post import post_process
+from clraytracer_tpu.ops.shade import initial_bounce_state, shade_hits
+from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
+from clraytracer_tpu.render import FrameInputs, Tracer
+from clraytracer_tpu.scene.types import Scene
+
+AXIS = "devices"
+
+
+def make_device_mesh(devices: list | None = None) -> Mesh:
+    """1-D mesh over all (or given) devices; the ray/tile grid shards over it."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), axis_names=(AXIS,))
+
+
+def _pad_rows(height: int, n: int) -> int:
+    return (height + n - 1) // n * n
+
+
+def _shade_rows(
+    scene: Scene,
+    frame: FrameInputs,
+    width: int,
+    height: int,
+    row_start: Array,
+    local_rows: int,
+    bounces: int,
+    tracer: Tracer,
+    reference_parity: bool,
+    integer_colors: bool,
+) -> Array:
+    """Render a row window [row_start, row_start+local_rows) of the frame."""
+    dirs = ray_directions(
+        frame.inverse_view,
+        frame.inverse_projection,
+        width,
+        height,
+        row_start=row_start,
+        num_rows=local_rows,
+    )
+    origin = jnp.broadcast_to(frame.camera_position, dirs.shape)
+    state = initial_bounce_state(origin, dirs, frame.sun_angle)
+    for _ in range(bounces):
+        hit = tracer(scene, state.origin, state.direction)
+        state = shade_hits(
+            scene,
+            state,
+            t=hit.t,
+            u=hit.u,
+            v=hit.v,
+            tri_idx=hit.tri,
+            instance_idx=hit.instance,
+            hit=hit.hit,
+            mesh_origin=hit.mesh_origin,
+            mesh_direction=hit.mesh_direction,
+            reference_parity=reference_parity,
+            integer_colors=integer_colors,
+        )
+    return state.result
+
+
+def render_sharded(
+    scene: Scene,
+    frame: FrameInputs,
+    config: RenderConfig,
+    mesh: Mesh | None = None,
+    tracer: Tracer = trace_wavefront,
+) -> Array:
+    """Full frame sharded by rows over the mesh. Returns [H, W, 3] (global).
+
+    Scene/frame are replicated; each device traces its row block
+    independently (embarrassingly parallel — SURVEY.md §5 long-context note).
+    """
+    mesh = mesh or make_device_mesh()
+    n = mesh.devices.size
+    h_pad = _pad_rows(config.height, n)
+    local_rows = h_pad // n
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(AXIS, None, None),
+    )
+    def shard_fn(scene_rep: Scene, frame_rep: FrameInputs) -> Array:
+        idx = jax.lax.axis_index(AXIS)
+        return _shade_rows(
+            scene_rep,
+            frame_rep,
+            config.width,
+            config.height,
+            idx * local_rows,
+            local_rows,
+            config.bounces,
+            tracer,
+            config.reference_parity_shading,
+            config.integer_colors,
+        )
+
+    img = shard_fn(scene, frame)[: config.height]
+    if config.enable_post:
+        img = post_process(img, enable_fxaa=config.enable_fxaa)
+    return img
+
+
+def replicate_scene(scene: Scene, mesh: Mesh) -> Scene:
+    """Explicitly place every scene leaf replicated on the mesh (the
+    'push to all chips' analogue of PushMeshesToGPU)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), scene
+    )
+
+
+def _is_float(x) -> bool:
+    dtype = getattr(x, "dtype", None)
+    return dtype is not None and jnp.issubdtype(dtype, jnp.floating)
+
+
+def _float_leaf_view(tree):
+    """Flatten a pytree and expose only its float leaves for differentiation
+    (gradients w.r.t. integer leaves are meaningless, and shard_map tracers
+    reject float0 cotangents). Returns (float_leaves, rebuild_fn)."""
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    float_ix = [i for i, l in enumerate(leaves) if _is_float(l)]
+
+    def rebuild(float_leaves):
+        out = list(leaves)
+        for i, v in zip(float_ix, float_leaves):
+            out[i] = v
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return [leaves[i] for i in float_ix], rebuild
+
+
+def train_step_sharded(
+    scene: Scene,
+    frame: FrameInputs,
+    target: Array,  # [H, W, 3] (H padded to a multiple of mesh size)
+    mesh: Mesh | None = None,
+    lr: float = 1e-2,
+    width: int | None = None,
+    height: int | None = None,
+    bounces: int = 2,
+    base_tracer: Tracer = trace_wavefront,
+) -> tuple[Array, Scene]:
+    """One inverse-rendering SGD step, data-parallel over the mesh.
+
+    Per-device: differentiable render of the local row shard, local L2 loss
+    against the target shard, grads w.r.t. the replicated scene; then
+    ``psum`` of loss and gradients over ICI, SGD update on float leaves.
+    Returns (global loss, updated scene) — both replicated.
+    """
+    mesh = mesh or make_device_mesh()
+    n = mesh.devices.size
+    height = height or target.shape[0]
+    width = width or target.shape[1]
+    assert target.shape[0] % n == 0, "pad target rows to a multiple of mesh size"
+    local_rows = target.shape[0] // n
+    tracer = make_differentiable_tracer(base_tracer)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(AXIS, None, None)),
+        out_specs=(P(), P()),
+    )
+    def step(scene_rep: Scene, frame_rep: FrameInputs, target_local: Array):
+        idx = jax.lax.axis_index(AXIS)
+        row0 = idx * local_rows
+        params, rebuild = _float_leaf_view(scene_rep)
+
+        def local_loss(p) -> Array:
+            img = _shade_rows(
+                rebuild(p), frame_rep, width, height, row0, local_rows,
+                bounces, tracer, reference_parity=True, integer_colors=False,
+            )
+            return jnp.sum((img - target_local) ** 2)
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        # ---- ICI all-reduce -----------------------------------------------
+        # loss is device-varying → explicit psum. The parameter gradients are
+        # already globally reduced: shard_map's autodiff transposes the
+        # implicit replicated→varying broadcast of the params into a psum
+        # over the mesh axis (verified: per-device grads equal the full-frame
+        # gradient), so psumming again would multiply by the mesh size.
+        loss = jax.lax.psum(loss, AXIS)
+        denom = 1.0 / (height * width * 3)
+        new_params = [
+            p - lr * g.astype(p.dtype) * denom for p, g in zip(params, grads)
+        ]
+        return loss * denom, rebuild(new_params)
+
+    return step(scene, frame, target)

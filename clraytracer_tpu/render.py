@@ -67,6 +67,7 @@ def trace_image(
     bounces: int = 2,
     tracer: Tracer = trace_wavefront,
     reference_parity: bool = True,
+    integer_colors: bool = True,
 ) -> Array:
     """Linear [H, W, 3] radiance before post-processing — the Trace kernel's
     output image (kernel_main.cl:164-275)."""
@@ -88,6 +89,7 @@ def trace_image(
             mesh_origin=hit.mesh_origin,
             mesh_direction=hit.mesh_direction,
             reference_parity=reference_parity,
+            integer_colors=integer_colors,
         )
     return state.result
 
@@ -107,6 +109,7 @@ def render_frame(
         bounces=config.bounces,
         tracer=tracer,
         reference_parity=config.reference_parity_shading,
+        integer_colors=config.integer_colors,
     )
     if config.enable_post:
         img = post_process(img, enable_fxaa=config.enable_fxaa)

@@ -1,0 +1,135 @@
+"""Gradient tests: finite-difference checks of pixel gradients w.r.t.
+material color, texture texels, vertex positions, and instance transforms
+(BASELINE config 3)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from clraytracer_tpu.camera import Camera
+from clraytracer_tpu.config import CameraConfig
+from clraytracer_tpu.diff import image_loss_and_grads, render_image_diff
+from clraytracer_tpu.render import frame_inputs_from_camera
+from clraytracer_tpu.scene import SceneBuilder
+from clraytracer_tpu.scene.procedural import uv_sphere
+from clraytracer_tpu.scene.textures import checkerboard, gradient_sky
+
+W, H = 16, 12
+
+
+@pytest.fixture(scope="module")
+def diff_scene():
+    b = SceneBuilder()
+    b.import_texture(gradient_sky(64, 32))
+    checker = b.import_texture(checkerboard(8, 2, (255, 200, 150), (90, 110, 130)))
+    mat = b.create_material(albedo=(0.8, 0.55, 0.3), albedo_tex=checker,
+                            shininess=1.0, roughness=0.4)
+    mesh = b.add_mesh(uv_sphere(2.0, n_lat=6, n_lon=8), materials_start=mat)
+    b.add_instance(mesh)
+    return b.build()
+
+
+@pytest.fixture(scope="module")
+def frame():
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), W, H)
+    return frame_inputs_from_camera(cam, -1.96)
+
+
+def _loss(scene, frame, weights):
+    img = render_image_diff(scene, frame, W, H)
+    return float(jnp.sum(img * weights))
+
+
+@pytest.fixture(scope="module")
+def weights(rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    return jnp.asarray(rng.uniform(0.0, 1.0, (H, W, 3)).astype(np.float32))
+
+
+def _grads(scene, frame, weights):
+    _, g = image_loss_and_grads(
+        scene, frame, W, H, loss_fn=lambda img: jnp.sum(img * weights)
+    )
+    return g
+
+
+def test_gradients_exist_and_finite(diff_scene, frame, weights):
+    g = _grads(diff_scene, frame, weights)
+    ga = np.asarray(g.materials.albedo)
+    assert np.isfinite(ga).all()
+    assert np.abs(ga).max() > 0.0
+    gt = np.asarray(g.atlas.texels)
+    assert np.isfinite(gt).all()
+    assert np.abs(gt).max() > 0.0
+    gv = np.asarray(g.tris.v0, np.float32)
+    assert np.isfinite(gv).all()
+    assert np.abs(gv).max() > 0.0
+    gi = np.asarray(g.instances.inverse_transform)
+    assert np.isfinite(gi).all()
+    assert np.abs(gi).max() > 0.0
+
+
+def test_albedo_gradient_matches_finite_difference(diff_scene, frame, weights):
+    g = _grads(diff_scene, frame, weights)
+    ga = np.asarray(g.materials.albedo)
+    mat_id, chan = np.unravel_index(np.abs(ga).argmax(), ga.shape)
+    eps = 1e-3
+
+    def perturbed(sign):
+        alb = np.asarray(diff_scene.materials.albedo).copy()
+        alb[mat_id, chan] += sign * eps
+        mats = diff_scene.materials.replace(albedo=jnp.asarray(alb))
+        return dataclasses.replace(diff_scene, materials=mats)
+
+    fd = (_loss(perturbed(+1), frame, weights) - _loss(perturbed(-1), frame, weights)) / (
+        2 * eps
+    )
+    np.testing.assert_allclose(fd, ga[mat_id, chan], rtol=5e-2, atol=1e-4)
+
+
+def test_texel_gradient_matches_finite_difference(diff_scene, frame, weights):
+    g = _grads(diff_scene, frame, weights)
+    gt = np.asarray(g.atlas.texels)
+    tex_id, chan = np.unravel_index(np.abs(gt).argmax(), gt.shape)
+    eps = 1e-3
+
+    def perturbed(sign):
+        tx = np.asarray(diff_scene.atlas.texels).copy()
+        tx[tex_id, chan] += sign * eps
+        atlas = diff_scene.atlas.replace(texels=jnp.asarray(tx))
+        return dataclasses.replace(diff_scene, atlas=atlas)
+
+    fd = (_loss(perturbed(+1), frame, weights) - _loss(perturbed(-1), frame, weights)) / (
+        2 * eps
+    )
+    np.testing.assert_allclose(fd, gt[tex_id, chan], rtol=5e-2, atol=1e-4)
+
+
+def test_vertex_gradient_matches_finite_difference(frame, weights):
+    # white (constant) texture so point-sampling's zero-gradient plateaus
+    # don't pollute the finite difference
+    b = SceneBuilder()
+    b.import_texture(gradient_sky(64, 32))
+    mat = b.create_material(albedo=(0.8, 0.55, 0.3))
+    mesh = b.add_mesh(uv_sphere(2.0, n_lat=6, n_lon=8), materials_start=mat)
+    b.add_instance(mesh)
+    scene = b.build()
+
+    g = _grads(scene, frame, weights)
+    gv = np.asarray(g.tris.v0, np.float32)
+    tri_id, axis = np.unravel_index(np.abs(gv).argmax(), gv.shape)
+    eps = 2e-3
+
+    def perturbed(sign):
+        v = np.asarray(scene.tris.v0).copy()
+        v[tri_id, axis] += sign * eps
+        tris = scene.tris.replace(v0=jnp.asarray(v))
+        return dataclasses.replace(scene, tris=tris)
+
+    fd = (_loss(perturbed(+1), frame, weights) - _loss(perturbed(-1), frame, weights)) / (
+        2 * eps
+    )
+    np.testing.assert_allclose(fd, gv[tri_id, axis], rtol=8e-2, atol=5e-4)
