@@ -1,0 +1,99 @@
+"""Benchmark harness: forward ray throughput on the flagship scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+``vs_baseline`` is the fraction of the BASELINE north-star target of
+1 Grays/s/chip forward (1.0 == target met). The reference publishes no
+absolute throughput (SURVEY.md §6); for context, its fatal watchdog implies a
+floor of ~22 Mrays/s (1249x720x2 bounces / 80 ms) on its 2022-era GPU.
+
+Scene: BASELINE config-2 shape — textured UV sphere + equirect sky at
+1920x1080, 2 bounces, full BVH traversal + shading + post chain.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--tracer", default=None, help="tracer name (default: best)")
+    ap.add_argument("--tris", type=int, default=4096, help="approx triangle count")
+    args = ap.parse_args()
+
+    import jax
+
+    from clraytracer_tpu.camera import Camera
+    from clraytracer_tpu.config import CameraConfig, RenderConfig
+    from clraytracer_tpu.render import TRACERS, frame_inputs_from_camera, render_frame
+    from clraytracer_tpu.scene import SceneBuilder
+    from clraytracer_tpu.scene.procedural import uv_sphere
+    from clraytracer_tpu.scene.textures import checkerboard, gradient_sky
+
+    # ~args.tris triangles: 2 * n_lon * (n_lat - 1) with n_lon = 2 * n_lat
+    n_lat = max(4, int((args.tris / 4) ** 0.5) + 1)
+    n_lon = 2 * n_lat
+
+    b = SceneBuilder()
+    b.import_texture(gradient_sky(512, 256))
+    checker = b.import_texture(checkerboard(128, 8))
+    mat = b.create_material(
+        albedo=(0.9, 0.6, 0.3), albedo_tex=checker, shininess=1.0, roughness=0.4
+    )
+    mesh = b.add_mesh(uv_sphere(2.0, n_lat=n_lat, n_lon=n_lon), materials_start=mat)
+    b.add_instance(mesh)
+    scene = jax.device_put(b.build())
+
+    cam = Camera.create(
+        CameraConfig(position=(0.13, 0.21, 10.0)), args.width, args.height
+    )
+    config = RenderConfig(width=args.width, height=args.height)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
+
+    tracer_name = args.tracer or _best_tracer_name(TRACERS)
+    tracer = TRACERS[tracer_name]
+
+    fn = jax.jit(lambda s, f: render_frame(s, f, config, tracer=tracer))
+    img = jax.block_until_ready(fn(scene, frame))  # compile + warm
+    assert bool(jax.numpy.isfinite(img).all()), "render produced non-finite values"
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(scene, frame))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    rays = args.width * args.height * config.bounces
+    mrays = rays / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"fwd rays/s, {args.width}x{args.height}x"
+                f"{config.bounces}bounce sphere scene, tracer={tracer_name}",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 1000.0, 4),
+            }
+        )
+    )
+
+
+def _best_tracer_name(tracers: dict) -> str:
+    """Prefer the Pallas kernel when registered, else the wavefront path."""
+    for name in ("pallas", "wavefront"):
+        if name in tracers:
+            return name
+    return next(iter(tracers))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
