@@ -154,9 +154,10 @@ def ray_directions(
     cx, cy = jnp.meshgrid(xs, ys, indexing="xy")  # [num_rows, W]
     ones = jnp.ones_like(cx)
     coord = jnp.stack([cx, cy, ones, ones], axis=-1)  # [H, W, 4]
-    target = coord @ inverse_projection
+    # explicit sum-of-products — see math3d.matvec for why not `@` on TPU
+    target = math3d.matvec(coord, inverse_projection)
     target = target / target[..., 3:4]
-    world = target @ inverse_view
+    world = math3d.matvec(target, inverse_view)
     return math3d.normalize(world[..., :3])
 
 

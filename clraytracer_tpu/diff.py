@@ -59,8 +59,8 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
         inv = jnp.take(
             scene.instances.inverse_transform, hit.instance, axis=0, mode="clip"
         )
-        o = jnp.einsum("...i,...ij->...j", origin, inv[..., :3, :3]) + inv[..., 3, :3]
-        d = jnp.einsum("...i,...ij->...j", direction, inv[..., :3, :3])
+        o = math3d.transform_point(origin, inv)
+        d = math3d.transform_vector(direction, inv)
         # differentiable recompute of (t, u, v) against the hit triangle
         g = lambda arr: jnp.take(arr, hit.tri, axis=0, mode="clip")
         t, u, v, _ok = moller_trumbore(

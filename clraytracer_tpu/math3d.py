@@ -50,22 +50,34 @@ def reflect(v: Vec3, n: Vec3) -> Vec3:
 
 # ---------------------------------------------------------------------------
 # Matrices (row-vector convention: p' = p @ M)
+#
+# All small-matrix transforms are written as explicit sums of broadcast
+# products rather than ``@``: on TPU, f32 matmuls route through the MXU with
+# bf16-rounded inputs by default, and view/projection matrices contain
+# catastrophic cancellations (e.g. w = -49.999 + 50.001) that bf16 rounds to
+# exactly zero. Elementwise VPU math keeps full f32 precision and is faster
+# than the MXU for K=4 anyway.
 # ---------------------------------------------------------------------------
+
+
+def matvec(v: Array, m: Array) -> Array:
+    """Row-vector transform ``v @ m`` for [..., K] x [..., K, N], exact f32."""
+    return jnp.sum(v[..., :, None] * m, axis=-2)
 
 
 def transform_point(p: Vec3, m: Mat4) -> Vec3:
     """Transform a position (w=1): reference MatMul(m, (p,1)).xyz."""
-    return p @ m[:3, :3] + m[3, :3]
+    return matvec(p, m[..., :3, :3]) + m[..., 3, :3]
 
 
 def transform_vector(v: Vec3, m: Mat4) -> Vec3:
     """Transform a direction (w=0): reference MatMul(m, (v,0)).xyz."""
-    return v @ m[:3, :3]
+    return matvec(v, m[..., :3, :3])
 
 
 def transform_h(v: Vec4, m: Mat4) -> Vec4:
     """Full homogeneous transform: v @ M."""
-    return v @ m
+    return matvec(v, m)
 
 
 def perspective_fov_rh(

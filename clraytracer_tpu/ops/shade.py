@@ -163,7 +163,7 @@ def shade_hits(
         )
 
     # normals: object → world via v @ inv[:3,:3] (kernel_main.cl:232-236)
-    tfm = lambda n: jnp.einsum("...i,...ij->...j", n.astype(jnp.float32), inv3)
+    tfm = lambda n: math3d.matvec(n.astype(jnp.float32), inv3)
     n0, n1, n2 = tfm(g(tris.n0)), tfm(g(tris.n1)), tfm(g(tris.n2))
     normal = math3d.normalize(bary_mix(n0, n1, n2))
 

@@ -1,0 +1,307 @@
+"""Pallas tile tracer: the TPU-native traversal megakernel.
+
+Design (TPU-first replacement for per-thread stack traversal,
+kernel_main.cl:124-160): the pixel grid is cut into **tiles of 1024 rays**
+(one [8, 128] vreg per component); per tile the kernel runs three phases per
+mesh instance, each a dense vector computation:
+
+  A. Supercluster culling — exact per-ray slab tests against each
+     supercluster AABB (32 clusters each); surviving supercluster indices are
+     compacted into SMEM with a branch-free scalar scatter.
+  B. Cluster culling — per-ray slab tests for the 32 clusters of each
+     surviving supercluster (flat loop, traced bound); survivors compacted.
+  C. Leaf intersection — for each surviving cluster, a statically unrolled
+     batch of 32 Möller-Trumbore tests (triangle scalars at static column
+     offsets), merged into per-ray best (t, u, v, tri, instance).
+
+No per-lane gathers, no stacks, no divergence: data-dependent work is skipped
+at *tile* granularity via compacted index lists, which is exactly the control
+the hardware gives us (scalar loops + dense vectors). Measured calibration:
+~357 G tri-tests/s on a v5e — 1 Grays/s at ~350 tests/ray of total work.
+
+Mosaic constraints honoured (discovered empirically, see repo history):
+scalar VMEM reads must be [traced row, static column]; nested fori is legal
+only with static bounds on the outer-traced combination — hence the flat
+"j // 32, j % 32" loops; `lax.cond` nesting is avoided entirely.
+
+Culling semantics: conservative (a box containing the ray origin still
+passes, unlike the reference's tnear>0 quirk) — the Pallas path targets the
+brute-force golden semantics; the wavefront/bvh tracers keep reference
+bug-parity.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from clraytracer_tpu import math3d
+from clraytracer_tpu.ops.clusters import CLUSTER_SIZE, SUPER_SIZE
+from clraytracer_tpu.ops.trace_ref import SceneHit, _instance_tables
+from clraytracer_tpu.scene.types import MISS_DISTANCE, Scene
+
+TILE = 1024  # rays per tile: [8, 128]
+_BIG = np.float32(MISS_DISTANCE)
+
+
+def _make_kernel(instance_ranges: tuple[tuple[int, int, int, int], ...]):
+    """Builds the kernel body for a static per-instance range list
+    (supercluster start/count, cluster start/count per instance)."""
+
+    n_instances = len(instance_ranges)
+
+    def kernel(
+        o_ref,  # [3, 8, 128] tile ray origins (world)
+        d_ref,  # [3, 8, 128] tile ray directions (world)
+        inv_ref,  # [I, 16] instance inverse transforms (row-major, row-vector)
+        scab_ref,  # [S, 8] supercluster AABBs (min xyz, max xyz)
+        clab_ref,  # [C, 8] cluster AABBs
+        ta_ref,  # [C, 128] v0x|v0y|v0z|e1x (32 lanes each)
+        tb_ref,  # [C, 128] e1y|e1z|e2x|e2y
+        tc_ref,  # [C, 128] e2z|pad
+        out_t,  # [8, 128]
+        out_u,
+        out_v,
+        out_tri,  # [8, 128] i32 (padded-table triangle slot c*32+k)
+        out_inst,  # [8, 128] i32
+        sc_scratch,  # SMEM [S_total] i32
+        cl_scratch,  # SMEM [C_total] i32
+    ):
+        ox_w, oy_w, oz_w = o_ref[0], o_ref[1], o_ref[2]
+        dx_w, dy_w, dz_w = d_ref[0], d_ref[1], d_ref[2]
+
+        best_t = jnp.full((8, 128), _BIG, jnp.float32)
+        best_u = jnp.zeros((8, 128), jnp.float32)
+        best_v = jnp.zeros((8, 128), jnp.float32)
+        best_tri = jnp.zeros((8, 128), jnp.int32)
+        best_inst = jnp.zeros((8, 128), jnp.int32)
+
+        for inst in range(n_instances):
+            sc0, sc_n, cl0, cl_n = instance_ranges[inst]
+            m = [inv_ref[inst, c] for c in range(16)]
+            # object-space ray: o' = o @ M + M[3,:], d' = d @ M (row-vector)
+            ox = ox_w * m[0] + oy_w * m[4] + oz_w * m[8] + m[12]
+            oy = ox_w * m[1] + oy_w * m[5] + oz_w * m[9] + m[13]
+            oz = ox_w * m[2] + oy_w * m[6] + oz_w * m[10] + m[14]
+            dx = dx_w * m[0] + dy_w * m[4] + dz_w * m[8]
+            dy = dx_w * m[1] + dy_w * m[5] + dz_w * m[9]
+            dz = dx_w * m[2] + dy_w * m[6] + dz_w * m[10]
+            idx = 1.0 / dx
+            idy = 1.0 / dy
+            idz = 1.0 / dz
+
+            def slab_any(ref, row, bt):
+                """Conservative per-ray slab test of one AABB row; returns
+                scalar 'any ray possibly hits'."""
+                t0x = (ref[row, 0] - ox) * idx
+                t1x = (ref[row, 3] - ox) * idx
+                t0y = (ref[row, 1] - oy) * idy
+                t1y = (ref[row, 4] - oy) * idy
+                t0z = (ref[row, 2] - oz) * idz
+                t1z = (ref[row, 5] - oz) * idz
+                tnear = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                    jnp.minimum(t0z, t1z),
+                )
+                tfar = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                    jnp.maximum(t0z, t1z),
+                )
+                hit = (tnear <= tfar) & (tfar > 0.0) & (tnear < bt)
+                return jnp.any(hit)
+
+            # ---- phase A: supercluster culling (static bound) -------------
+            def phase_a(s, cnt):
+                hit = slab_any(scab_ref, sc0 + s, best_t)
+                sc_scratch[cnt] = s
+                return cnt + hit.astype(jnp.int32)
+
+            na = jax.lax.fori_loop(0, sc_n, phase_a, jnp.int32(0))
+
+            # ---- phase B: cluster culling (flat, traced bound) ------------
+            def phase_b(j, cnt):
+                s = sc_scratch[j // SUPER_SIZE]
+                c_local = s * SUPER_SIZE + (j % SUPER_SIZE)
+                valid = c_local < cl_n
+                c = cl0 + jnp.minimum(c_local, cl_n - 1)
+                hit = slab_any(clab_ref, c, best_t) & valid
+                cl_scratch[cnt] = c
+                return cnt + hit.astype(jnp.int32)
+
+            nb = jax.lax.fori_loop(0, na * SUPER_SIZE, phase_b, jnp.int32(0))
+
+            # ---- phase C: dense leaf batches (flat, traced bound) ---------
+            def phase_c(j, carry):
+                bt, bu, bv, btri, binst = carry
+                c = cl_scratch[j]
+                for k in range(CLUSTER_SIZE):
+                    v0x = ta_ref[c, k]
+                    v0y = ta_ref[c, 32 + k]
+                    v0z = ta_ref[c, 64 + k]
+                    e1x = ta_ref[c, 96 + k]
+                    e1y = tb_ref[c, k]
+                    e1z = tb_ref[c, 32 + k]
+                    e2x = tb_ref[c, 64 + k]
+                    e2y = tb_ref[c, 96 + k]
+                    e2z = tc_ref[c, k]
+                    hx = dy * e2z - dz * e2y
+                    hy = dz * e2x - dx * e2z
+                    hz = dx * e2y - dy * e2x
+                    a = e1x * hx + e1y * hy + e1z * hz
+                    f = 1.0 / a
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    u = f * (sx * hx + sy * hy + sz * hz)
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = f * (dx * qx + dy * qy + dz * qz)
+                    t = f * (e2x * qx + e2y * qy + e2z * qz)
+                    ok = (
+                        (t > 0.0)
+                        & (t < bt)
+                        & (u >= 0.0)
+                        & (u <= 1.0)
+                        & (v >= 0.0)
+                        & (u + v <= 1.0)
+                    )
+                    bt = jnp.where(ok, t, bt)
+                    bu = jnp.where(ok, u, bu)
+                    bv = jnp.where(ok, v, bv)
+                    slot = c * CLUSTER_SIZE + k
+                    btri = jnp.where(ok, slot, btri)
+                    binst = jnp.where(ok, jnp.int32(inst), binst)
+                return bt, bu, bv, btri, binst
+
+            best_t, best_u, best_v, best_tri, best_inst = jax.lax.fori_loop(
+                0, nb, phase_c, (best_t, best_u, best_v, best_tri, best_inst)
+            )
+
+        out_t[:] = best_t
+        out_u[:] = best_u
+        out_v[:] = best_v
+        out_tri[:] = best_tri
+        out_inst[:] = best_inst
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("instance_ranges",))
+def _trace_tiles(
+    o_tiles: Array,  # [T, 3, 8, 128]
+    d_tiles: Array,  # [T, 3, 8, 128]
+    inv: Array,  # [I, 16]
+    scab: Array,  # [S, 8]
+    clab: Array,  # [C, 8]
+    tri_a: Array,  # [C, 128]
+    tri_b: Array,  # [C, 128]
+    tri_c: Array,  # [C, 128]
+    instance_ranges: tuple[tuple[int, int, int, int], ...],
+):
+    n_tiles = o_tiles.shape[0]
+    kernel = _make_kernel(instance_ranges)
+    # tests and the golden path run on CPU: interpret the kernel there
+    interpret = jax.default_backend() != "tpu"
+    tile_spec = pl.BlockSpec(
+        (None, 3, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0))
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), f32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), f32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), f32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
+        ),
+        in_specs=[tile_spec, tile_spec, full, full, full, full, full, full],
+        out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
+            pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
+        ],
+        interpret=interpret,
+    )(o_tiles, d_tiles, inv, scab, clab, tri_a, tri_b, tri_c)
+
+
+def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
+    """Drop-in Tracer backed by the Pallas tile kernel."""
+    clusters = scene.clusters
+    assert clusters is not None, "scene built without cluster tables"
+    shape = origin.shape[:-1]
+    n = int(np.prod(shape)) if shape else 1
+    n_tiles = -(-n // TILE)
+    pad = n_tiles * TILE - n
+
+    def tile_layout(x: Array) -> Array:
+        flat = x.reshape(-1, 3)
+        if pad:
+            flat = jnp.concatenate([flat, jnp.zeros((pad, 3), flat.dtype)])
+        # [T*1024, 3] → [T, 3, 8, 128]
+        return flat.reshape(n_tiles, 8, 128, 3).transpose(0, 3, 1, 2)
+
+    o_tiles = tile_layout(origin)
+    # pad directions with a non-zero constant so 1/d is finite for pad lanes
+    d_flat = direction.reshape(-1, 3)
+    if pad:
+        d_flat = jnp.concatenate([d_flat, jnp.ones((pad, 3), d_flat.dtype)])
+    d_tiles = d_flat.reshape(n_tiles, 8, 128, 3).transpose(0, 3, 1, 2)
+
+    mesh_idx, _, _, _ = _instance_tables(scene)
+    ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
+    inv = scene.instances.inverse_transform.reshape(-1, 16)
+
+    t, u, v, tri_slot, inst = _trace_tiles(
+        o_tiles,
+        d_tiles,
+        inv,
+        clusters.super_aabb,
+        clusters.cluster_aabb,
+        clusters.tri_a,
+        clusters.tri_b,
+        clusters.tri_c,
+        ranges,
+    )
+
+    def untile(x: Array) -> Array:
+        flat = x.transpose(0, 1, 2).reshape(-1)[:n]
+        return flat.reshape(shape)
+
+    t = untile(t)
+    u = untile(u)
+    v = untile(v)
+    tri_slot = untile(tri_slot)
+    inst = untile(inst)
+    hit = t < _BIG
+
+    tri = jnp.take(clusters.tri_gid, tri_slot, mode="clip")
+
+    # object-space ray of the winning instance (needed by shading)
+    inv_t = jnp.take(
+        scene.instances.inverse_transform, inst, axis=0, mode="clip"
+    )
+    mesh_origin = math3d.transform_point(origin, inv_t)
+    mesh_direction = math3d.transform_vector(direction, inv_t)
+
+    return SceneHit(
+        t=jnp.where(hit, t, MISS_DISTANCE),
+        u=u,
+        v=v,
+        tri=tri,
+        instance=inst,
+        hit=hit,
+        mesh_origin=mesh_origin,
+        mesh_direction=mesh_direction,
+    )

@@ -23,6 +23,7 @@ from clraytracer_tpu.config import RenderConfig
 from clraytracer_tpu.ops.post import post_process
 from clraytracer_tpu.ops.shade import BounceState, initial_bounce_state, shade_hits
 from clraytracer_tpu.ops.trace_ref import SceneHit, trace_brute, trace_bvh
+from clraytracer_tpu.ops.trace_pallas import trace_pallas
 from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
 from clraytracer_tpu.scene.types import Scene
 
@@ -32,7 +33,8 @@ Tracer = Callable[[Scene, Array, Array], SceneHit]
 TRACERS: dict[str, Tracer] = {
     "brute": trace_brute,
     "bvh": trace_bvh,  # per-ray vmapped twin of the reference (CPU golden)
-    "wavefront": trace_wavefront,  # batched lock-step traversal (default)
+    "wavefront": trace_wavefront,  # batched lock-step traversal (portable default)
+    "pallas": trace_pallas,  # TPU tile/cluster megakernel (fast path)
 }
 
 

@@ -30,6 +30,7 @@ from clraytracer_tpu.scene.procedural import MeshData
 from clraytracer_tpu.scene.textures import AtlasBuilder
 from clraytracer_tpu.scene.types import (
     BVH,
+    Clusters,
     Instances,
     Materials,
     Scene,
@@ -37,6 +38,7 @@ from clraytracer_tpu.scene.types import (
     Triangles,
 )
 from clraytracer_tpu.bvh import build_bvh
+from clraytracer_tpu.ops.clusters import build_clusters
 from clraytracer_tpu.utils.logging import get_logger
 
 #: Reference ResourceManager::DefaultMaterial sentinel (ResourceManager.hpp:88).
@@ -248,11 +250,14 @@ class SceneBuilder:
             min_leaf=min_leaf, max_leaf=max_leaf,
         )
         p = build.perm
+        # keep host copies for cluster building — reading device arrays back
+        # over a tunneled TPU costs tens of seconds
+        hv0, hv1, hv2 = concat.v0[p], concat.v1[p], concat.v2[p]
 
         tris = Triangles(
-            v0=jnp.asarray(concat.v0[p]),
-            v1=jnp.asarray(concat.v1[p]),
-            v2=jnp.asarray(concat.v2[p]),
+            v0=jnp.asarray(hv0),
+            v1=jnp.asarray(hv1),
+            v2=jnp.asarray(hv2),
             uv0=jnp.asarray(math3d.to_half(concat.uv0[p])),
             uv1=jnp.asarray(math3d.to_half(concat.uv1[p])),
             uv2=jnp.asarray(math3d.to_half(concat.uv2[p])),
@@ -296,8 +301,27 @@ class SceneBuilder:
             specular_u32=jnp.asarray(math3d.pack_rgb_u32(specular), jnp.uint32),
         )
 
+        # cluster tables for the Pallas tile tracer (built from the
+        # BVH-reordered, spatially coherent triangle order)
+        ct = build_clusters(
+            hv0, hv1, hv2, bvh.mesh_tri_start, bvh.mesh_tri_count
+        )
+        pad8 = lambda mn, mx: np.concatenate(
+            [mn, mx, np.zeros((mn.shape[0], 2), np.float32)], axis=1
+        )
+        clusters = Clusters(
+            tri_a=jnp.asarray(ct.tri_a),
+            tri_b=jnp.asarray(ct.tri_b),
+            tri_c=jnp.asarray(ct.tri_c),
+            tri_gid=jnp.asarray(ct.tri_gid),
+            cluster_aabb=jnp.asarray(pad8(ct.cluster_min, ct.cluster_max)),
+            super_aabb=jnp.asarray(pad8(ct.super_min, ct.super_max)),
+            mesh_ranges=ct.mesh_ranges,
+        )
+
         skybox = 2 if self.atlas.num_textures > 2 else WHITE_TEXTURE
         return Scene(
+            clusters=clusters,
             tris=tris,
             bvh=bvh,
             materials=materials,

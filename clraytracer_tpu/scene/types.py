@@ -152,6 +152,21 @@ class Instances:
 
 
 @pytree_dataclass
+class Clusters:
+    """Device cluster tables for the Pallas tile tracer (see
+    ops/clusters.py for the layout rationale)."""
+
+    tri_a: Array  # [C, 128] f32: v0x|v0y|v0z|e1x, 32 lanes each
+    tri_b: Array  # [C, 128] f32: e1y|e1z|e2x|e2y
+    tri_c: Array  # [C, 128] f32: e2z|pad
+    tri_gid: Array  # [C*32] i32: padded slot → global arena triangle index
+    cluster_aabb: Array  # [C, 8] f32: min xyz @ 0..2, max xyz @ 3..5
+    super_aabb: Array  # [S, 8] f32
+    #: per-mesh (super_start, super_count, cluster_start, cluster_count)
+    mesh_ranges: tuple[tuple[int, int, int, int], ...] = static_field(default=())
+
+
+@pytree_dataclass
 class Scene:
     """Complete renderable scene state — the single pytree handed to jitted
     render/trace functions (and sharded/replicated across the device mesh)."""
@@ -161,6 +176,8 @@ class Scene:
     materials: Materials
     atlas: TextureAtlas
     instances: Instances
+    #: Cluster tables for the Pallas tracer (None → builder skipped them).
+    clusters: "Clusters | None" = None
     #: Texture index used for the equirect skybox (reference hardcodes
     #: textures[2], kernel_main.cl:220).
     skybox_tex: int = static_field(default=2)

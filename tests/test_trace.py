@@ -170,3 +170,22 @@ def test_wavefront_jits_and_matches_image(sphere_scene):
     img_w = np.asarray(fn(sphere_scene, frame))
     close = np.isclose(img_b, img_w, atol=1e-3).all(axis=-1)
     assert close.mean() > 0.99
+
+
+def test_pallas_matches_brute_sphere(sphere_scene):
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
+
+    _, o, d = _camera_rays(32, 24)
+    hb = trace_brute(sphere_scene, o, d)
+    hp = trace_pallas(sphere_scene, o, d)
+    assert_hits_match(hb, hp)
+
+
+def test_pallas_matches_brute_two_instances(two_instance_scene):
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
+
+    _, o, d = _camera_rays(32, 24, position=(0.07, 1.11, 8.0))
+    hb = trace_brute(two_instance_scene, o, d)
+    hp = trace_pallas(two_instance_scene, o, d)
+    assert np.asarray(hb.hit).sum() > 20
+    assert_hits_match(hb, hp)
