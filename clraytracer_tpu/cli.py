@@ -1,0 +1,200 @@
+"""Command-line app shell.
+
+The reference's app layer is a Win32 window + ImGui editor (EngineMain.cpp,
+Window.cpp, Editor/*); the TPU-native equivalent is headless: commands that
+render to PNG, benchmark, compute gradients, and inspect scenes. A scene is
+either a bundled procedural set (``sphere``, ``two``, ``field``) or any OBJ
+path (with MTL + textures + binary cache, like the reference's
+Engine_Start imports, Engine.cpp:61-76).
+
+Usage:
+  python -m clraytracer_tpu render  --scene sphere --width 1024 --height 768 -o out.png
+  python -m clraytracer_tpu bench   --scene sphere --width 1920 --height 1080
+  python -m clraytracer_tpu grads   --scene sphere
+  python -m clraytracer_tpu inspect --scene path/to/mesh.obj
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_scene(spec: str, tris: int = 4096):
+    """Scene factory: named procedural scenes or an OBJ path."""
+    from clraytracer_tpu import math3d
+    from clraytracer_tpu.scene import SceneBuilder
+    from clraytracer_tpu.scene.procedural import cube, sphere_field, uv_sphere
+    from clraytracer_tpu.scene.textures import checkerboard, gradient_sky
+
+    b = SceneBuilder()
+    b.import_texture(gradient_sky(512, 256))
+    if spec == "sphere":
+        n_lat = max(4, int((tris / 4) ** 0.5) + 1)
+        checker = b.import_texture(checkerboard(128, 8))
+        mat = b.create_material(
+            albedo=(0.9, 0.6, 0.3), albedo_tex=checker, shininess=1.0, roughness=0.4
+        )
+        mesh = b.add_mesh(
+            uv_sphere(2.0, n_lat=n_lat, n_lon=2 * n_lat), materials_start=mat
+        )
+        b.add_instance(mesh)
+    elif spec == "two":
+        checker = b.import_texture(checkerboard(64, 8))
+        m1 = b.create_material(albedo=(0.9, 0.2, 0.2), albedo_tex=checker)
+        m2 = b.create_material(albedo=(0.2, 0.9, 0.2))
+        s = b.add_mesh(uv_sphere(1.5, 24, 48), materials_start=m1)
+        c = b.add_mesh(cube(1.0), materials_start=m2)
+        b.add_instance(s, math3d.translation(-2.0, 1.0, 0.0))
+        b.add_instance(c, math3d.rotation_y(0.7) @ math3d.translation(2.5, 0.5, -1.0))
+    elif spec == "field":
+        mat = b.create_material(albedo=(0.7, 0.7, 0.9))
+        mesh = b.add_mesh(sphere_field(n_side=6, n_lat=16, n_lon=32), materials_start=mat)
+        b.add_instance(mesh)
+    else:
+        mesh = b.import_mesh(Path(spec))
+        b.add_instance(mesh)
+    return b.build()
+
+
+def _camera(args):
+    from clraytracer_tpu.camera import Camera
+    from clraytracer_tpu.config import CameraConfig
+
+    return Camera.create(
+        CameraConfig(
+            position=tuple(args.camera_pos),
+            yaw_deg=args.yaw,
+            pitch_deg=args.pitch,
+        ),
+        args.width,
+        args.height,
+    )
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    from clraytracer_tpu.config import RenderConfig
+    from clraytracer_tpu.render import render, save_png
+    from clraytracer_tpu.utils.logging import log_info
+
+    scene = jax.device_put(build_scene(args.scene, args.tris))
+    cam = _camera(args)
+    cfg = RenderConfig(
+        width=args.width,
+        height=args.height,
+        bounces=args.bounces,
+        sun_angle=args.sun_angle,
+        enable_fxaa=args.fxaa,
+        enable_post=not args.no_post,
+    )
+    t0 = time.perf_counter()
+    img = render(scene, cam, cfg, tracer_name=args.tracer)
+    log_info("rendered %dx%d in %.1f ms (incl. compile)",
+             args.width, args.height, (time.perf_counter() - t0) * 1e3)
+    save_png(args.output, img)
+    log_info("wrote %s", args.output)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root harness
+
+    sys.argv = [
+        "bench.py",
+        "--width", str(args.width),
+        "--height", str(args.height),
+        "--tris", str(args.tris),
+    ] + (["--tracer", args.tracer] if args.tracer else [])
+    bench_mod.main()
+    return 0
+
+
+def cmd_grads(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from clraytracer_tpu.diff import image_loss_and_grads
+    from clraytracer_tpu.render import frame_inputs_from_camera
+
+    scene = jax.device_put(build_scene(args.scene, args.tris))
+    cam = _camera(args)
+    frame = frame_inputs_from_camera(cam, args.sun_angle)
+    target = jnp.zeros((args.height, args.width, 3), jnp.float32)
+    loss, grads = image_loss_and_grads(
+        scene, frame, args.width, args.height, target=target
+    )
+    out = {
+        "loss": float(loss),
+        "grad_norms": {
+            "materials.albedo": float(jnp.linalg.norm(grads.materials.albedo)),
+            "atlas.texels": float(jnp.linalg.norm(grads.atlas.texels)),
+            "tris.v0": float(
+                jnp.linalg.norm(grads.tris.v0.astype(jnp.float32))
+            ),
+            "instances.inverse_transform": float(
+                jnp.linalg.norm(grads.instances.inverse_transform)
+            ),
+        },
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    from clraytracer_tpu.scene.types import scene_summary
+
+    scene = build_scene(args.scene, args.tris)
+    print(json.dumps(scene_summary(scene), indent=2))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="clraytracer_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--scene", default="sphere",
+                       help="sphere | two | field | path/to.obj")
+        p.add_argument("--width", type=int, default=1024)
+        p.add_argument("--height", type=int, default=768)
+        p.add_argument("--tris", type=int, default=4096)
+        p.add_argument("--bounces", type=int, default=2)
+        p.add_argument("--sun-angle", type=float, default=-1.96)
+        p.add_argument("--camera-pos", type=float, nargs=3,
+                       default=[0.13, 0.21, 10.0])
+        p.add_argument("--yaw", type=float, default=-90.0)
+        p.add_argument("--pitch", type=float, default=0.0)
+        p.add_argument("--tracer", default="wavefront")
+
+    p = sub.add_parser("render", help="render a frame to PNG")
+    common(p)
+    p.add_argument("-o", "--output", default="render.png")
+    p.add_argument("--fxaa", action="store_true")
+    p.add_argument("--no-post", action="store_true")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="throughput benchmark")
+    common(p)
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("grads", help="gradient sanity report")
+    common(p)
+    p.set_defaults(fn=cmd_grads)
+
+    p = sub.add_parser("inspect", help="scene statistics")
+    common(p)
+    p.set_defaults(fn=cmd_inspect)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -245,10 +245,19 @@ class SceneBuilder:
             concat = concat.concat(m)
         counts = [m.count for m in self._meshes]
 
-        build = build_bvh(
+        # native builder first (reference's cold-start hot path, BVH.cpp),
+        # numpy level-synchronous build as the portable fallback
+        from clraytracer_tpu.runtime.fastobj import build_bvh_native
+
+        build = build_bvh_native(
             concat.v0, concat.v1, concat.v2, counts,
             min_leaf=min_leaf, max_leaf=max_leaf,
         )
+        if build is None:
+            build = build_bvh(
+                concat.v0, concat.v1, concat.v2, counts,
+                min_leaf=min_leaf, max_leaf=max_leaf,
+            )
         p = build.perm
         # keep host copies for cluster building — reading device arrays back
         # over a tunneled TPU costs tens of seconds

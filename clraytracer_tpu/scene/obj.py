@@ -100,14 +100,88 @@ def _parse_face_corner(token: str) -> tuple[int, int, int]:
     return v, t, n
 
 
-def load_obj(path: str | Path) -> ObjMesh:
+def _load_obj_native(path: Path, text: str) -> "ObjMesh | None":
+    """Native (C++) parse path — same semantics as the Python scan below."""
+    from clraytracer_tpu.runtime.fastobj import parse_obj_arrays
+
+    out = parse_obj_arrays(text)
+    if out is None:
+        return None
+    positions, texcoords, normals, pi, ti, ni, stmt = out
+
+    materials: list[ObjMaterial] = []
+    mat_index: dict[str, int] = {}
+    mtl_path = path.with_suffix(".mtl")
+    if mtl_path.exists():
+        materials = parse_mtl(mtl_path.read_text(errors="replace"))
+        mat_index = {m.name: i for i, m in enumerate(materials)}
+    # map usemtl statement order → material ids
+    stmt_names = [
+        line[7:].strip()
+        for line in text.splitlines()
+        if line.startswith("usemtl")
+    ]
+    for line in text.splitlines():
+        if line.startswith("mtllib") and not materials:
+            extra = path.parent / line[7:].strip()
+            if extra.exists():
+                materials = parse_mtl(extra.read_text(errors="replace"))
+                mat_index = {m.name: i for i, m in enumerate(materials)}
+    stmt_to_mat = np.asarray(
+        [mat_index.get(nm, 0) for nm in stmt_names] or [0], np.int32
+    )
+    face_mats = np.where(stmt >= 0, stmt_to_mat[np.clip(stmt, 0, len(stmt_to_mat) - 1)], 0)
+
+    if len(texcoords) == 0:
+        texcoords = np.zeros((1, 2), np.float32)
+    ti = np.where(ti < 0, 0, ti)
+    if len(normals) == 0:
+        p0, p1, p2 = (positions[pi[:, k]] for k in range(3))
+        fn = np.cross(p1 - p0, p2 - p0)
+        fn /= np.maximum(np.linalg.norm(fn, axis=-1, keepdims=True), 1e-20)
+        normals = fn.astype(np.float32)
+        ni = np.repeat(np.arange(len(fn), dtype=np.int32)[:, None], 3, axis=1)
+    ni = np.where(ni < 0, 0, ni)
+
+    uv = texcoords.copy()
+    uv[:, 1] = 1.0 - uv[:, 1]
+
+    mesh = MeshData(
+        v0=positions[pi[:, 0]],
+        v1=positions[pi[:, 1]],
+        v2=positions[pi[:, 2]],
+        uv0=uv[ti[:, 0]],
+        uv1=uv[ti[:, 1]],
+        uv2=uv[ti[:, 2]],
+        n0=normals[ni[:, 0]],
+        n1=normals[ni[:, 1]],
+        n2=normals[ni[:, 2]],
+        mat_idx=face_mats.astype(np.int32),
+    )
+    if not materials:
+        materials = [ObjMaterial(name="default")]
+    return ObjMesh(mesh=mesh, materials=materials)
+
+
+def load_obj(path: str | Path, prefer_native: bool = True) -> ObjMesh:
     """Parse an OBJ file (+ companion .mtl) into a MeshData + material list.
 
     Triangle order and attribute quantization mirror the reference importer so
-    downstream BVH builds see the same input ordering.
+    downstream BVH builds see the same input ordering. Uses the C++ runtime
+    parser when available (the reference's char-level importer is native C++,
+    AssetManager.cpp:13-35); falls back to the vectorized Python scan.
     """
     path = Path(path)
     text = path.read_text(errors="replace")
+
+    if prefer_native:
+        native = _load_obj_native(path, text)
+        if native is not None:
+            get_logger().info(
+                "imported %s (native): %d triangles, %d materials",
+                path.name, native.mesh.count, len(native.materials),
+            )
+            return native
 
     v_lines: list[str] = []
     vt_lines: list[str] = []
