@@ -128,7 +128,7 @@ class Camera:
         return dataclasses.replace(cam, position=pos.astype(np.float32))
 
 
-def ray_directions(
+def ray_directions_planar(
     inverse_view: Array,
     inverse_projection: Array,
     width: int,
@@ -136,12 +136,15 @@ def ray_directions(
     row_start: Array | int = 0,
     num_rows: int | None = None,
 ) -> Array:
-    """[num_rows, W, 3] normalized primary-ray directions.
+    """Planar [3, num_rows*W] normalized primary-ray directions.
 
     Vectorized twin of the RayGen kernel (kernel_main.cl:277-287):
-    ``coord = (i/W, j/H) * 2 - 1``; unproject via inverseProjection; perspective
-    divide; rotate into world by inverseView; normalize. Row j is image row j
-    (rayIndex = j * W + i).
+    ``coord = (i/W, j/H) * 2 - 1``; unproject via inverseProjection;
+    perspective divide; rotate into world by inverseView; normalize. Ray
+    ``j * W + i`` is pixel (i, j). All math is per-component on [rows, W]
+    grids (planar) — interleaved [..., 4] intermediates are slow on TPU and
+    MXU matmuls of these matrices are numerically unsafe (bf16 input
+    rounding), see math3d.matvec.
 
     ``row_start``/``num_rows`` select a row window of the full H-row grid —
     how each device of a mesh generates only its shard of the pixel grid.
@@ -152,13 +155,39 @@ def ray_directions(
     rows = row_start + jnp.arange(num_rows, dtype=jnp.float32)
     ys = (rows / height) * 2.0 - 1.0
     cx, cy = jnp.meshgrid(xs, ys, indexing="xy")  # [num_rows, W]
-    ones = jnp.ones_like(cx)
-    coord = jnp.stack([cx, cy, ones, ones], axis=-1)  # [H, W, 4]
-    # explicit sum-of-products — see math3d.matvec for why not `@` on TPU
-    target = math3d.matvec(coord, inverse_projection)
-    target = target / target[..., 3:4]
-    world = math3d.matvec(target, inverse_view)
-    return math3d.normalize(world[..., :3])
+
+    ip = inverse_projection
+    # target = (cx, cy, 1, 1) @ invProj, per component
+    tx = cx * ip[0, 0] + cy * ip[1, 0] + ip[2, 0] + ip[3, 0]
+    ty = cx * ip[0, 1] + cy * ip[1, 1] + ip[2, 1] + ip[3, 1]
+    tz = cx * ip[0, 2] + cy * ip[1, 2] + ip[2, 2] + ip[3, 2]
+    tw = cx * ip[0, 3] + cy * ip[1, 3] + ip[2, 3] + ip[3, 3]
+    inv_w = 1.0 / tw
+    tx, ty, tz = tx * inv_w, ty * inv_w, tz * inv_w
+
+    iv = inverse_view
+    wx = tx * iv[0, 0] + ty * iv[1, 0] + tz * iv[2, 0] + iv[3, 0]
+    wy = tx * iv[0, 1] + ty * iv[1, 1] + tz * iv[2, 1] + iv[3, 1]
+    wz = tx * iv[0, 2] + ty * iv[1, 2] + tz * iv[2, 2] + iv[3, 2]
+    rn = 1.0 / jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    return jnp.stack([(wx * rn).reshape(-1), (wy * rn).reshape(-1), (wz * rn).reshape(-1)])
+
+
+def ray_directions(
+    inverse_view: Array,
+    inverse_projection: Array,
+    width: int,
+    height: int,
+    row_start: Array | int = 0,
+    num_rows: int | None = None,
+) -> Array:
+    """Interleaved [num_rows, W, 3] wrapper around the planar ray generator."""
+    if num_rows is None:
+        num_rows = height
+    p = ray_directions_planar(
+        inverse_view, inverse_projection, width, height, row_start, num_rows
+    )
+    return p.T.reshape(num_rows, width, 3)
 
 
 def screen_point_to_ray(

@@ -29,12 +29,10 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from clraytracer_tpu import math3d
-from clraytracer_tpu.camera import ray_directions
-from clraytracer_tpu.config import RenderConfig
-from clraytracer_tpu.ops.intersect import moller_trumbore
+from clraytracer_tpu.camera import ray_directions_planar
+from clraytracer_tpu.ops import planar
 from clraytracer_tpu.ops.post import post_process
-from clraytracer_tpu.ops.shade import initial_bounce_state, shade_hits
+from clraytracer_tpu.ops.shade import object_space_rays
 from clraytracer_tpu.ops.trace_ref import SceneHit
 from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
 from clraytracer_tpu.render import FrameInputs, Tracer
@@ -54,29 +52,42 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
                 jax.lax.stop_gradient(direction),
             )
         )
+        shape = origin.shape[:-1]
+        tri = hit.tri.reshape(-1)
+        inst = hit.instance.reshape(-1)
         # differentiable recompute of the object-space ray for the winning
-        # instance (gradients flow into instance inverse transforms)
-        inv = jnp.take(
-            scene.instances.inverse_transform, hit.instance, axis=0, mode="clip"
+        # instance (gradients flow into instance inverse transforms); planar
+        o, d = object_space_rays(
+            scene,
+            inst,
+            planar.from_last(origin.reshape(-1, 3)),
+            planar.from_last(direction.reshape(-1, 3)),
         )
-        o = math3d.transform_point(origin, inv)
-        d = math3d.transform_vector(direction, inv)
-        # differentiable recompute of (t, u, v) against the hit triangle
-        g = lambda arr: jnp.take(arr, hit.tri, axis=0, mode="clip")
-        t, u, v, _ok = moller_trumbore(
-            o, d, g(scene.tris.v0), g(scene.tris.v1), g(scene.tris.v2),
-            jnp.full(hit.t.shape, MISS_DISTANCE),
-        )
-        keep = hit.hit
+        # differentiable planar Möller-Trumbore against the hit triangle
+        gc = lambda table, c: jnp.take(table[:, c], tri, mode="clip")
+        v0 = jnp.stack([gc(scene.tris.v0, c) for c in range(3)])
+        v1 = jnp.stack([gc(scene.tris.v1, c) for c in range(3)])
+        v2 = jnp.stack([gc(scene.tris.v2, c) for c in range(3)])
+        e1 = v1 - v0
+        e2 = v2 - v0
+        h = planar.cross(d, e2)
+        f = 1.0 / planar.dot(e1, h)
+        s = o - v0
+        u = f * planar.dot(s, h)
+        q = planar.cross(s, e1)
+        v = f * planar.dot(d, q)
+        t = f * planar.dot(e2, q)
+
+        keep = hit.hit.reshape(-1)
         return SceneHit(
-            t=jnp.where(keep, t, MISS_DISTANCE),
-            u=jnp.where(keep, u, 0.0),
-            v=jnp.where(keep, v, 0.0),
+            t=jnp.where(keep, t, MISS_DISTANCE).reshape(shape),
+            u=jnp.where(keep, u, 0.0).reshape(shape),
+            v=jnp.where(keep, v, 0.0).reshape(shape),
             tri=hit.tri,
             instance=hit.instance,
-            hit=keep,
-            mesh_origin=o,
-            mesh_direction=d,
+            hit=hit.hit,
+            mesh_origin=planar.to_last(o, shape),
+            mesh_direction=planar.to_last(d, shape),
         )
 
     return traced
@@ -93,27 +104,18 @@ def render_image_diff(
     enable_post: bool = False,
 ) -> Array:
     """Differentiable [H, W, 3] render (float color path)."""
+    from clraytracer_tpu.render import trace_planar
+
     tracer = make_differentiable_tracer(base_tracer)
-    dirs = ray_directions(frame.inverse_view, frame.inverse_projection, width, height)
-    origin = jnp.broadcast_to(frame.camera_position, dirs.shape)
-    state = initial_bounce_state(origin, dirs, frame.sun_angle)
-    for _ in range(bounces):
-        hit = tracer(scene, state.origin, state.direction)
-        state = shade_hits(
-            scene,
-            state,
-            t=hit.t,
-            u=hit.u,
-            v=hit.v,
-            tri_idx=hit.tri,
-            instance_idx=hit.instance,
-            hit=hit.hit,
-            mesh_origin=hit.mesh_origin,
-            mesh_direction=hit.mesh_direction,
-            reference_parity=reference_parity,
-            integer_colors=False,
-        )
-    img = state.result
+    dirs = ray_directions_planar(
+        frame.inverse_view, frame.inverse_projection, width, height
+    )
+    origin = jnp.broadcast_to(frame.camera_position[:, None], dirs.shape)
+    result = trace_planar(
+        scene, origin, dirs, frame.sun_angle, bounces, tracer,
+        reference_parity, integer_colors=False,
+    )
+    img = planar.to_last(result, (height, width))
     if enable_post:
         img = post_process(img)
     return img

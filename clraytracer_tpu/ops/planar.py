@@ -1,0 +1,106 @@
+"""Planar (structure-of-arrays) vector math for the render pipeline.
+
+TPU arrays tile as (8 sublanes, 128 lanes) over the two minor dimensions, so
+an interleaved ``[..., 3]`` color/vector array wastes 125/128 lanes and
+forces pathological relayouts — measured ~28 ms for a single luminance
+reduction at 1080p vs 0.05 ms planar (460x). Every hot-path vector therefore
+travels as a **[3, N]** array (channels major, rays minor); these helpers
+keep that convention readable.
+
+Boundary conversions (``from_last``/``to_last``) are cheap single transposes
+(~0.07 ms at 1080p).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+
+def from_last(v: Array) -> Array:
+    """[..., 3] → [3, N] (flattening leading dims)."""
+    flat = v.reshape(-1, v.shape[-1])
+    return flat.T
+
+
+def to_last(p: Array, shape: tuple[int, ...]) -> Array:
+    """[3, N] → shape + [3]."""
+    return p.T.reshape(*shape, p.shape[0])
+
+
+def dot(a: Array, b: Array) -> Array:
+    """[3, N] · [3, N] → [N]."""
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cross(a: Array, b: Array) -> Array:
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+    )
+
+
+def normalize(v: Array) -> Array:
+    return v / jnp.sqrt(dot(v, v))[None]
+
+
+def reflect(v: Array, n: Array) -> Array:
+    """v - n * dot(n, v) * 2 (reference MathAndSTL.cl:117-119)."""
+    return v - n * (2.0 * dot(n, v))[None]
+
+
+def where(mask: Array, a: Array, b: Array) -> Array:
+    """Select on a [N] mask between [3, N] (or scalar-broadcast) values."""
+    return jnp.where(mask[None], a, b)
+
+
+def scale(v: Array, s: Array) -> Array:
+    """[3, N] * [N]."""
+    return v * s[None]
+
+
+def transform_point(p: Array, m: Array) -> Array:
+    """Row-vector affine transform of planar points: [3, N] x [4, 4]."""
+    return jnp.stack(
+        [
+            p[0] * m[0, 0] + p[1] * m[1, 0] + p[2] * m[2, 0] + m[3, 0],
+            p[0] * m[0, 1] + p[1] * m[1, 1] + p[2] * m[2, 1] + m[3, 1],
+            p[0] * m[0, 2] + p[1] * m[1, 2] + p[2] * m[2, 2] + m[3, 2],
+        ]
+    )
+
+
+def transform_vector(d: Array, m: Array) -> Array:
+    return jnp.stack(
+        [
+            d[0] * m[0, 0] + d[1] * m[1, 0] + d[2] * m[2, 0],
+            d[0] * m[0, 1] + d[1] * m[1, 1] + d[2] * m[2, 1],
+            d[0] * m[0, 2] + d[1] * m[1, 2] + d[2] * m[2, 2],
+        ]
+    )
+
+
+def transform_point_batched(p: Array, m: Array) -> Array:
+    """Per-ray matrices: [3, N] x [N, 4, 4] (gathered instance transforms)."""
+    cols = [m[:, 0, j] for j in range(3)], [m[:, 1, j] for j in range(3)], [
+        m[:, 2, j] for j in range(3)
+    ], [m[:, 3, j] for j in range(3)]
+    r0, r1, r2, r3 = cols
+    return jnp.stack(
+        [
+            p[0] * r0[j] + p[1] * r1[j] + p[2] * r2[j] + r3[j]
+            for j in range(3)
+        ]
+    )
+
+
+def transform_vector_batched(d: Array, m: Array) -> Array:
+    return jnp.stack(
+        [
+            d[0] * m[:, 0, j] + d[1] * m[:, 1, j] + d[2] * m[:, 2, j]
+            for j in range(3)
+        ]
+    )

@@ -132,13 +132,39 @@ def fxaa(img: Array) -> Array:
 def post_process(
     img: Array, enable_fxaa: bool = False, enable_vignette: bool = True
 ) -> Array:
-    """Full chain over an [H, W, 3] linear image (kernel_main.cl:342-359)."""
-    rgb = img
+    """Full chain over an [H, W, 3] linear image (kernel_main.cl:342-359).
+
+    Internally planar ([3, N] channel-major — see ops/planar.py for why) with
+    the Reinhard-internal and gamma pows merged into one
+    (x^(1/1.55))^(1/1.2) = x^(1/1.86); the separable vignette is evaluated on
+    one row + one column instead of per pixel. Same math as the standalone
+    ops up to float rounding.
+    """
+    h, w = img.shape[:2]
     if enable_fxaa:
-        rgb = fxaa(rgb)
-    rgb = saturation(rgb, 1.2)
-    rgb = reinhard(rgb)
-    rgb = gamma_correct(rgb)
+        img = fxaa(img)
+    p = img.reshape(-1, 3).T  # [3, N]
+
+    # saturation (MathAndSTL.cl:154-158)
+    piv = jnp.sqrt(
+        p[0] * p[0] * 0.299 + p[1] * p[1] * 0.587 + p[2] * p[2] * 0.114
+    )
+    p = piv[None] + (p - piv[None]) * 1.2
+
+    # Reinhard luminance rescale (MathAndSTL.cl:143-148)
+    l_old = p[0] * 0.2126 + p[1] * 0.7152 + p[2] * 0.0722
+    l_new = l_old * (1.0 + l_old / (_MAX_WHITE * _MAX_WHITE)) / (1.0 + l_old)
+    p = p * (l_new / jnp.where(l_old == 0.0, 1.0, l_old))[None]
+
+    # merged reinhard-gamma pow (1/1.55 then 1/1.2)
+    p = jnp.power(jnp.maximum(p, 0.0), 1.0 / (1.55 * 1.2))
+
     if enable_vignette:
-        rgb = rgb * vignette_mask(img.shape[0], img.shape[1])[..., None]
-    return rgb
+        # vignette is separable: (fu*fv*15)^0.15 = (fu*sqrt(15))^0.15 * (fv*sqrt(15))^0.15
+        u = jnp.arange(w, dtype=jnp.float32) / w
+        v = jnp.arange(h, dtype=jnp.float32) / h
+        fu = jnp.power(jnp.maximum(u * (1.0 - u) * jnp.sqrt(15.0), 0.0), 0.15)
+        fv = jnp.power(jnp.maximum(v * (1.0 - v) * jnp.sqrt(15.0), 0.0), 0.15)
+        p = p * (fv[:, None] * fu[None, :]).reshape(-1)[None]
+
+    return p.T.reshape(h, w, 3)

@@ -288,12 +288,19 @@ def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
 
     tri = jnp.take(clusters.tri_gid, tri_slot, mode="clip")
 
-    # object-space ray of the winning instance (needed by shading)
-    inv_t = jnp.take(
-        scene.instances.inverse_transform, inst, axis=0, mode="clip"
+    # object-space ray of the winning instance (needed by shading) — planar
+    # per-column gathers; interleaved [N,4,4] gathers are layout-hostile
+    from clraytracer_tpu.ops import planar
+    from clraytracer_tpu.ops.shade import object_space_rays
+
+    mo_p, md_p = object_space_rays(
+        scene,
+        inst.reshape(-1),
+        planar.from_last(origin.reshape(-1, 3)),
+        planar.from_last(direction.reshape(-1, 3)),
     )
-    mesh_origin = math3d.transform_point(origin, inv_t)
-    mesh_direction = math3d.transform_vector(direction, inv_t)
+    mesh_origin = planar.to_last(mo_p, shape)
+    mesh_direction = planar.to_last(md_p, shape)
 
     return SceneHit(
         t=jnp.where(hit, t, MISS_DISTANCE),

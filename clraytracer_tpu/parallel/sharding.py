@@ -29,11 +29,10 @@ import jax.numpy as jnp
 from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from clraytracer_tpu.camera import ray_directions
+from clraytracer_tpu.camera import ray_directions_planar
 from clraytracer_tpu.config import RenderConfig
 from clraytracer_tpu.diff import make_differentiable_tracer
 from clraytracer_tpu.ops.post import post_process
-from clraytracer_tpu.ops.shade import initial_bounce_state, shade_hits
 from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
 from clraytracer_tpu.render import FrameInputs, Tracer
 from clraytracer_tpu.scene.types import Scene
@@ -64,7 +63,10 @@ def _shade_rows(
     integer_colors: bool,
 ) -> Array:
     """Render a row window [row_start, row_start+local_rows) of the frame."""
-    dirs = ray_directions(
+    from clraytracer_tpu.ops import planar
+    from clraytracer_tpu.render import trace_planar
+
+    dirs = ray_directions_planar(
         frame.inverse_view,
         frame.inverse_projection,
         width,
@@ -72,25 +74,12 @@ def _shade_rows(
         row_start=row_start,
         num_rows=local_rows,
     )
-    origin = jnp.broadcast_to(frame.camera_position, dirs.shape)
-    state = initial_bounce_state(origin, dirs, frame.sun_angle)
-    for _ in range(bounces):
-        hit = tracer(scene, state.origin, state.direction)
-        state = shade_hits(
-            scene,
-            state,
-            t=hit.t,
-            u=hit.u,
-            v=hit.v,
-            tri_idx=hit.tri,
-            instance_idx=hit.instance,
-            hit=hit.hit,
-            mesh_origin=hit.mesh_origin,
-            mesh_direction=hit.mesh_direction,
-            reference_parity=reference_parity,
-            integer_colors=integer_colors,
-        )
-    return state.result
+    origin = jnp.broadcast_to(frame.camera_position[:, None], dirs.shape)
+    result = trace_planar(
+        scene, origin, dirs, frame.sun_angle, bounces, tracer,
+        reference_parity, integer_colors,
+    )
+    return planar.to_last(result, (local_rows, width))
 
 
 def render_sharded(

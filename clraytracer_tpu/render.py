@@ -18,10 +18,16 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from clraytracer_tpu.camera import Camera, ray_directions
+from clraytracer_tpu.camera import Camera, ray_directions, ray_directions_planar
 from clraytracer_tpu.config import RenderConfig
+from clraytracer_tpu.ops import planar
 from clraytracer_tpu.ops.post import post_process
-from clraytracer_tpu.ops.shade import BounceState, initial_bounce_state, shade_hits
+from clraytracer_tpu.ops.shade import (
+    BounceState,
+    initial_bounce_state,
+    object_space_rays,
+    shade_hits,
+)
 from clraytracer_tpu.ops.trace_ref import SceneHit, trace_brute, trace_bvh
 from clraytracer_tpu.ops.trace_pallas import trace_pallas
 from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
@@ -61,6 +67,45 @@ def frame_inputs_from_camera(camera: Camera, sun_angle: float) -> FrameInputs:
     )
 
 
+def trace_planar(
+    scene: Scene,
+    origin: Array,  # [3, N]
+    direction: Array,  # [3, N]
+    sun_angle: Array,
+    bounces: int,
+    tracer: Tracer,
+    reference_parity: bool,
+    integer_colors: bool,
+) -> Array:
+    """N-bounce trace + shade over planar rays; returns [3, N] radiance."""
+    n = origin.shape[1]
+    state = initial_bounce_state(origin, direction, sun_angle)
+    for _ in range(bounces):
+        hit = tracer(
+            scene,
+            planar.to_last(state.origin, (n,)),
+            planar.to_last(state.direction, (n,)),
+        )
+        mesh_o, mesh_d = object_space_rays(
+            scene, hit.instance, state.origin, state.direction
+        )
+        state = shade_hits(
+            scene,
+            state,
+            t=hit.t,
+            u=hit.u,
+            v=hit.v,
+            tri_idx=hit.tri,
+            instance_idx=hit.instance,
+            hit=hit.hit,
+            mesh_origin=mesh_o,
+            mesh_direction=mesh_d,
+            reference_parity=reference_parity,
+            integer_colors=integer_colors,
+        )
+    return state.result
+
+
 def trace_image(
     scene: Scene,
     frame: FrameInputs,
@@ -73,27 +118,15 @@ def trace_image(
 ) -> Array:
     """Linear [H, W, 3] radiance before post-processing — the Trace kernel's
     output image (kernel_main.cl:164-275)."""
-    dirs = ray_directions(frame.inverse_view, frame.inverse_projection, width, height)
-    origin = jnp.broadcast_to(frame.camera_position, dirs.shape)
-    state = initial_bounce_state(origin, dirs, frame.sun_angle)
-
-    for _ in range(bounces):
-        hit = tracer(scene, state.origin, state.direction)
-        state = shade_hits(
-            scene,
-            state,
-            t=hit.t,
-            u=hit.u,
-            v=hit.v,
-            tri_idx=hit.tri,
-            instance_idx=hit.instance,
-            hit=hit.hit,
-            mesh_origin=hit.mesh_origin,
-            mesh_direction=hit.mesh_direction,
-            reference_parity=reference_parity,
-            integer_colors=integer_colors,
-        )
-    return state.result
+    dirs = ray_directions_planar(
+        frame.inverse_view, frame.inverse_projection, width, height
+    )
+    origin = jnp.broadcast_to(frame.camera_position[:, None], dirs.shape)
+    result = trace_planar(
+        scene, origin, dirs, frame.sun_angle, bounces, tracer,
+        reference_parity, integer_colors,
+    )
+    return planar.to_last(result, (height, width))
 
 
 def render_frame(
