@@ -19,12 +19,14 @@ import json
 import sys
 import time
 
+import numpy as np
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--tracer", default=None, help="tracer name (default: best)")
     ap.add_argument("--tris", type=int, default=4096, help="approx triangle count")
     args = ap.parse_args()
@@ -61,16 +63,42 @@ def main() -> None:
     tracer_name = args.tracer or _best_tracer_name(TRACERS)
     tracer = TRACERS[tracer_name]
 
-    fn = jax.jit(lambda s, f: render_frame(s, f, config, tracer=tracer))
-    img = jax.block_until_ready(fn(scene, frame))  # compile + warm
-    assert bool(jax.numpy.isfinite(img).all()), "render produced non-finite values"
+    # Honest timing on a tunneled TPU: block_until_ready can return before
+    # device work completes (measured 50x too fast), so the per-frame time is
+    # taken as the wall-clock DIFFERENCE between an in-graph chain of
+    # (1 + iters) dependent frames and a 1-frame chain, each consumed down to
+    # one scalar readback. Every frame in the chain depends on the previous
+    # frame's pixels (sun_angle perturbation), so nothing can be hoisted,
+    # cached, or overlapped away.
+    import jax.numpy as jnp
 
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(scene, frame))
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
+    def chain(reps: int):
+        @jax.jit
+        def run(s, f):
+            def body(i, acc):
+                img = render_frame(
+                    s,
+                    f._replace(sun_angle=f.sun_angle + acc * 1e-20),
+                    config,
+                    tracer=tracer,
+                )
+                return acc * 0.5 + img[0, 0, 0] + img[-1, -1, 1] + jnp.sum(
+                    img[::97, ::97, 2]
+                ) * 1e-6
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        return run
+
+    c1, cn = chain(1), chain(1 + args.iters)
+    v1 = float(c1(scene, frame))  # compile + warm
+    vn = float(cn(scene, frame))
+    assert np.isfinite(v1) and np.isfinite(vn), "render produced non-finite values"
+    t1 = time.perf_counter()
+    float(c1(scene, frame))
+    t1 = time.perf_counter() - t1
+    tn = time.perf_counter()
+    float(cn(scene, frame))
+    tn = time.perf_counter() - tn
+    dt = max((tn - t1) / args.iters, 1e-9)
 
     rays = args.width * args.height * config.bounces
     mrays = rays / dt / 1e6

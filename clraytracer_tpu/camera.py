@@ -136,7 +136,7 @@ def ray_directions_planar(
     row_start: Array | int = 0,
     num_rows: int | None = None,
 ) -> Array:
-    """Planar [3, num_rows*W] normalized primary-ray directions.
+    """Planar [3, num_rows, W] normalized primary-ray directions.
 
     Vectorized twin of the RayGen kernel (kernel_main.cl:277-287):
     ``coord = (i/W, j/H) * 2 - 1``; unproject via inverseProjection;
@@ -170,7 +170,7 @@ def ray_directions_planar(
     wy = tx * iv[0, 1] + ty * iv[1, 1] + tz * iv[2, 1] + iv[3, 1]
     wz = tx * iv[0, 2] + ty * iv[1, 2] + tz * iv[2, 2] + iv[3, 2]
     rn = 1.0 / jnp.sqrt(wx * wx + wy * wy + wz * wz)
-    return jnp.stack([(wx * rn).reshape(-1), (wy * rn).reshape(-1), (wz * rn).reshape(-1)])
+    return jnp.stack([wx * rn, wy * rn, wz * rn])
 
 
 def ray_directions(
@@ -187,7 +187,7 @@ def ray_directions(
     p = ray_directions_planar(
         inverse_view, inverse_projection, width, height, row_start, num_rows
     )
-    return p.T.reshape(num_rows, width, 3)
+    return jnp.moveaxis(p, 0, -1)
 
 
 def screen_point_to_ray(

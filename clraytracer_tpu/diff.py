@@ -109,8 +109,8 @@ def render_image_diff(
     tracer = make_differentiable_tracer(base_tracer)
     dirs = ray_directions_planar(
         frame.inverse_view, frame.inverse_projection, width, height
-    )
-    origin = jnp.broadcast_to(frame.camera_position[:, None], dirs.shape)
+    )  # [3, H, W]
+    origin = jnp.broadcast_to(frame.camera_position[:, None, None], dirs.shape)
     result = trace_planar(
         scene, origin, dirs, frame.sun_angle, bounces, tracer,
         reference_parity, integer_colors=False,

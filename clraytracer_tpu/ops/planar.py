@@ -4,8 +4,13 @@ TPU arrays tile as (8 sublanes, 128 lanes) over the two minor dimensions, so
 an interleaved ``[..., 3]`` color/vector array wastes 125/128 lanes and
 forces pathological relayouts — measured ~28 ms for a single luminance
 reduction at 1080p vs 0.05 ms planar (460x). Every hot-path vector therefore
-travels as a **[3, N]** array (channels major, rays minor); these helpers
-keep that convention readable.
+travels **channel-major** as ``[3, *spatial]``; these helpers keep that
+convention readable.
+
+The spatial part should itself tile well: ``[3, H, W]`` (last two dims are
+multiples of (8, 128) at common resolutions) measured 17x faster elementwise
+than flattened ``[3, H*W]`` — a [3, N] array pads its 3 sublanes to 8, while
+[3, H, W] tiles the (H, W) plane densely.
 
 Boundary conversions (``from_last``/``to_last``) are cheap single transposes
 (~0.07 ms at 1080p).
@@ -18,14 +23,13 @@ from jax import Array
 
 
 def from_last(v: Array) -> Array:
-    """[..., 3] → [3, N] (flattening leading dims)."""
-    flat = v.reshape(-1, v.shape[-1])
-    return flat.T
+    """[..., 3] → [3, ...] (channel-major)."""
+    return jnp.moveaxis(v, -1, 0)
 
 
 def to_last(p: Array, shape: tuple[int, ...]) -> Array:
-    """[3, N] → shape + [3]."""
-    return p.T.reshape(*shape, p.shape[0])
+    """[3, ...] → shape + [3]."""
+    return jnp.moveaxis(p, 0, -1).reshape(*shape, p.shape[0])
 
 
 def dot(a: Array, b: Array) -> Array:

@@ -18,8 +18,12 @@ import jax.numpy as jnp
 from jax import Array
 
 _MAX_WHITE = 0.8
-_LUMA_R = jnp.asarray([0.2126, 0.7152, 0.0722])
-_FXAA_LUMA = jnp.asarray([0.299, 0.587, 0.114])
+# numpy literals, NOT jnp: module-level device arrays become jit-captured
+# constants that axon re-uploads per call
+import numpy as _np
+
+_LUMA_R = _np.asarray([0.2126, 0.7152, 0.0722], _np.float32)
+_FXAA_LUMA = _np.asarray([0.299, 0.587, 0.114], _np.float32)
 
 _FXAA_SPAN_MAX = 8.0
 _FXAA_REDUCE_MUL = 1.0 / 8.0

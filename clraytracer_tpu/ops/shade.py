@@ -6,18 +6,28 @@ Vectorized twins of the reference device functions:
   (MathAndSTL.cl:260-266).
 * ``sample_skybox`` — equirect mapping ``theta = atan2(x,-z)/pi * 0.5 * w``,
   ``phi = acos(y)/pi * h``, flat index ``phi*w + theta + offset``
-  (MathAndSTL.cl:253-258; the literal ``+2`` there is the skybox texture's
-  pool offset).
+  (MathAndSTL.cl:253-258).
 * ``shade_hits`` — one bounce of the Trace megakernel's shading block
   (kernel_main.cl:226-271): barycentric normal/uv interpolation from half
   attributes, normals transformed by the instance's inverse 3x3, integer
   color modulate, sun-angle Phong with "atmospheric" ambient, and the
   specular energy carried into the next (reflection) bounce.
 
-Layout: all per-ray vectors/colors are **planar [3, N]** (ops/planar.py) —
-interleaved [..., 3] arrays cost ~500x on TPU. Scene tables keep their
-canonical [T, 3] layout; shading slices each component column once (cheap at
-table scale) and gathers per-channel [N] arrays.
+TPU data-path design (see ops/gather.py for measurements): per-ray table
+lookups are the frame cost on TPU, so shading fetches *everything* with
+
+* ONE wide row gather of the packed per-triangle attribute table,
+* ONE one-hot MXU gather of the instance row (inverse transform +
+  material_start) — also used to reconstruct the object-space ray, which
+  the reference re-derives per instance in-kernel (kernel_main.cl:205-207),
+* ONE one-hot MXU gather of the material row with **denormalized texture
+  records** (width/height/offset baked in per material),
+* one texel-pool row gather per texture sample.
+
+All per-ray vectors/colors are planar ``[3, *spatial]`` (ops/planar.py).
+The same code path is differentiable: with ``scene.packed is None`` (or
+``integer_colors=False``) the tables are built in-jit from the canonical
+float leaves, and every gather used has a scatter-add VJP.
 """
 
 from __future__ import annotations
@@ -27,78 +37,218 @@ from typing import NamedTuple
 import jax.numpy as jnp
 from jax import Array
 
-from clraytracer_tpu.ops import planar
+from clraytracer_tpu.ops import gather, planar
 from clraytracer_tpu.scene.types import Scene, TextureAtlas
 
-_U8 = jnp.float32(1.0 / 255.0)
+# python float, NOT jnp: module-level device arrays become jit-captured
+# constants that axon re-uploads per call (~300 ms each)
+_U8 = 1.0 / 255.0
+
+#: offsets into the texel pool can exceed 2^24 (f32 integer exactness), so
+#: packed tables carry them split as (off >> _OFF_SHIFT, off & _OFF_MASK)
+_OFF_SHIFT = 12
+_OFF_MASK = (1 << _OFF_SHIFT) - 1
 
 
-def _tex_record(atlas: TextureAtlas, tex_idx: Array) -> tuple[Array, Array, Array]:
-    w = jnp.take(atlas.width, tex_idx, mode="clip")
-    h = jnp.take(atlas.height, tex_idx, mode="clip")
-    off = jnp.take(atlas.offset, tex_idx, mode="clip")
-    return w, h, off
+class ShadingTables(NamedTuple):
+    """Gather-ready tables; prebuilt (Scene.packed) or built in-jit."""
+
+    tri_attr: Array  # [T, 16] f32: n0 n1 n2 (9) | uv0 uv1 uv2 (6) | mat (1)
+    inst_rows: Array  # [I, 17] f32: inverse transform (16) | material_start
+    mat_rows: Array  # [M, 16] f32: albedo(3) specular(3) shin rough |
+    #                  aw ah aoff_hi aoff_lo | sw sh soff_hi soff_lo
 
 
-def _gather_texels(atlas: TextureAtlas, flat: Array) -> Array:
-    """Per-channel planar gather from the texel pool → [3, N]."""
-    return jnp.stack(
-        [jnp.take(atlas.texels[:, c], flat, mode="clip") for c in range(3)]
+def build_shading_tables(scene: Scene) -> ShadingTables:
+    """Build the packed tables in-jit from the canonical scene leaves.
+
+    Differentiable w.r.t. normals/uvs (via tris), instance transforms, and
+    material colors; table-scale concats are trivially cheap next to the
+    per-ray gathers they feed.
+    """
+    tris = scene.tris
+    f32 = lambda a: a.astype(jnp.float32)
+    tri_attr = jnp.concatenate(
+        [
+            f32(tris.n0), f32(tris.n1), f32(tris.n2),
+            f32(tris.uv0), f32(tris.uv1), f32(tris.uv2),
+            f32(tris.mat_idx)[:, None],
+        ],
+        axis=1,
     )
 
+    inst = scene.instances
+    inst_rows = jnp.concatenate(
+        [
+            inst.inverse_transform.reshape(-1, 16),
+            f32(inst.material_start)[:, None],
+        ],
+        axis=1,
+    )
 
-def sample_texture_planar(atlas: TextureAtlas, tex_idx: Array, u: Array, v: Array) -> Array:
-    """Point-sample RGB → [3, N] with UV wrap (truncating casts as in the
-    reference, MathAndSTL.cl:262-264)."""
-    w, h, off = _tex_record(atlas, tex_idx)
+    mats = scene.materials
+    atlas = scene.atlas
+
+    def texrec(tex_idx: Array) -> Array:
+        w = jnp.take(atlas.width, tex_idx, mode="clip")
+        h = jnp.take(atlas.height, tex_idx, mode="clip")
+        off = jnp.take(atlas.offset, tex_idx, mode="clip")
+        return jnp.stack(
+            [w, h, off >> _OFF_SHIFT, off & _OFF_MASK], axis=1
+        ).astype(jnp.float32)
+
+    mat_rows = jnp.concatenate(
+        [
+            mats.albedo,
+            mats.specular,
+            mats.shininess[:, None],
+            mats.roughness[:, None],
+            texrec(mats.albedo_tex),
+            texrec(mats.specular_tex),
+        ],
+        axis=1,
+    )
+    return ShadingTables(tri_attr=tri_attr, inst_rows=inst_rows, mat_rows=mat_rows)
+
+
+def refresh_packed(scene: Scene) -> Scene:
+    """Recompute the packed gather tables from the (possibly edited)
+    canonical leaves — the analogue of the reference's re-push after live
+    material edits (ResourceManager.cpp:102-128). Pure & jittable; skybox
+    statics are build-time constants and carry over."""
+    import dataclasses
+
+    if scene.packed is None:
+        return scene
+    tabs = build_shading_tables(scene)
+    packed = dataclasses.replace(
+        scene.packed,
+        tri_attr=tabs.tri_attr,
+        inst_rows=tabs.inst_rows,
+        mat_rows=tabs.mat_rows,
+    )
+    return dataclasses.replace(scene, packed=packed)
+
+
+def _shading_tables(scene: Scene, prefer_packed: bool) -> ShadingTables:
+    pk = scene.packed
+    if prefer_packed and pk is not None:
+        return ShadingTables(
+            tri_attr=pk.tri_attr, inst_rows=pk.inst_rows, mat_rows=pk.mat_rows
+        )
+    return build_shading_tables(scene)
+
+
+# ---------------------------------------------------------------------------
+# texture sampling
+# ---------------------------------------------------------------------------
+
+
+def _wrap_scale(u: Array, w) -> Array:
+    """UV wrap + truncating scale (reference MathAndSTL.cl:262-264)."""
     uw = u - jnp.floor(u)
-    vw = v - jnp.floor(v)
-    us = (w.astype(jnp.float32) * uw).astype(jnp.int32)
-    vs = (h.astype(jnp.float32) * vw).astype(jnp.int32)
-    return _gather_texels(atlas, vs * w + off + us)
+    return (uw * w).astype(jnp.int32)
+
+
+def sample_pool_planar(
+    atlas: TextureAtlas, w: Array | int, h: Array | int, off: Array | int,
+    u: Array, v: Array,
+) -> Array:
+    """Point-sample RGB from the texel pool → planar [3, *spatial].
+
+    ``w/h/off`` may be per-ray arrays (gathered records) or static ints
+    (skybox). One row gather of the [P, 3] pool.
+    """
+    if not isinstance(w, (int, float)):
+        w = w.astype(jnp.float32)
+        h = h.astype(jnp.float32)
+    us = _wrap_scale(u, w)
+    vs = _wrap_scale(v, h)
+    wi = w.astype(jnp.int32) if isinstance(w, Array) else int(w)
+    flat = vs * wi + us + (
+        off.astype(jnp.int32) if isinstance(off, Array) else int(off)
+    )
+    return gather.take_rows(atlas.texels, flat)
+
+
+def sample_skybox_static(
+    atlas: TextureAtlas, w: int, h: int, off: int, d: Array
+) -> Array:
+    """Equirect skybox sample with a static texture record → [3, *spatial]
+    (MathAndSTL.cl:253-258)."""
+    theta = (jnp.arctan2(d[0], -d[2]) / jnp.pi * (0.5 * w)).astype(jnp.int32)
+    phi = (
+        jnp.arccos(jnp.clip(d[1], -1.0, 1.0)) / jnp.pi * float(h)
+    ).astype(jnp.int32)
+    return gather.take_rows(atlas.texels, phi * w + theta + off)
 
 
 def sample_skybox_planar(atlas: TextureAtlas, tex_idx: Array, d: Array) -> Array:
-    """Equirect skybox sample for planar [3, N] directions → [3, N]."""
-    w, h, off = _tex_record(atlas, tex_idx)
-    theta = (
-        jnp.arctan2(d[0], -d[2]) / jnp.pi * 0.5 * w.astype(jnp.float32)
-    ).astype(jnp.int32)
+    """Equirect skybox sample with per-ray texture index → [3, *spatial]."""
+    w = jnp.take(atlas.width, tex_idx, mode="clip")
+    h = jnp.take(atlas.height, tex_idx, mode="clip")
+    off = jnp.take(atlas.offset, tex_idx, mode="clip")
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    theta = (jnp.arctan2(d[0], -d[2]) / jnp.pi * 0.5 * wf).astype(jnp.int32)
     phi = (
-        jnp.arccos(jnp.clip(d[1], -1.0, 1.0)) / jnp.pi * h.astype(jnp.float32)
+        jnp.arccos(jnp.clip(d[1], -1.0, 1.0)) / jnp.pi * hf
     ).astype(jnp.int32)
-    return _gather_texels(atlas, phi * w + theta + off)
+    return gather.take_rows(atlas.texels, phi * w + theta + off)
 
 
 # interleaved-API wrappers (tests, tooling)
 def sample_texture(atlas: TextureAtlas, tex_idx: Array, uv: Array) -> Array:
     shape = uv.shape[:-1]
-    out = sample_texture_planar(
-        atlas,
-        tex_idx.reshape(-1),
-        uv[..., 0].reshape(-1),
-        uv[..., 1].reshape(-1),
-    )
+    w = jnp.take(atlas.width, tex_idx, mode="clip")
+    h = jnp.take(atlas.height, tex_idx, mode="clip")
+    off = jnp.take(atlas.offset, tex_idx, mode="clip")
+    out = sample_pool_planar(atlas, w, h, off, uv[..., 0], uv[..., 1])
     return planar.to_last(out, shape)
+
+
+def sample_texture_planar(
+    atlas: TextureAtlas, tex_idx: Array, u: Array, v: Array
+) -> Array:
+    """Back-compat planar sampler with a per-ray texture index gather."""
+    w = jnp.take(atlas.width, tex_idx, mode="clip")
+    h = jnp.take(atlas.height, tex_idx, mode="clip")
+    off = jnp.take(atlas.offset, tex_idx, mode="clip")
+    return sample_pool_planar(atlas, w, h, off, u, v)
 
 
 def sample_skybox(atlas: TextureAtlas, tex_idx: Array, direction: Array) -> Array:
     shape = direction.shape[:-1]
-    idx = jnp.broadcast_to(tex_idx, shape).reshape(-1)
+    idx = jnp.broadcast_to(tex_idx, shape)
     out = sample_skybox_planar(atlas, idx, planar.from_last(direction))
     return planar.to_last(out, shape)
 
 
-def _modulate_u32(texel: Array, color_u32: Array) -> Array:
-    """Reference integer color modulate, planar: texel [3, N] float in [0,1],
-    color_u32 [N] packed → ((mat_u8 * texel_u8) >> 8) / 255."""
-    c = color_u32.astype(jnp.uint32)
-    out = []
-    for ch, shift in ((0, 0), (1, 8), (2, 16)):
-        mat = (c >> shift) & 0xFF
-        tex = jnp.round(texel[ch] * 255.0).astype(jnp.uint32)
-        out.append(((mat * tex) >> 8).astype(jnp.float32) * _U8)
-    return jnp.stack(out)
+# ---------------------------------------------------------------------------
+# shading math
+# ---------------------------------------------------------------------------
+
+
+def _modulate_bytes(texel: Array, mat_rgb: Array) -> Array:
+    """Reference integer color modulate ((mat_u8 * texel_u8) >> 8) / 255
+    (MathAndSTL.cl:243-249) computed bit-exactly in float arithmetic —
+    u8*u8 <= 65025 < 2^24 is exact in f32, and uint32 shifts/multiplies are
+    slower than float FMAs on the TPU VPU.
+
+    ``texel`` [3, *S] float from the u8 pool; ``mat_rgb`` [3, *S] canonical
+    float color (packing truncates: byte = floor(clip(c)*255))."""
+    mat_b = jnp.round(jnp.clip(mat_rgb, 0.0, 1.0) * 255.0)
+    tex_b = jnp.round(texel * 255.0)
+    return jnp.floor(mat_b * tex_b * (1.0 / 256.0)) * _U8
+
+
+def _pow_fast(x: Array, e: Array) -> Array:
+    """x**e for arrays of exponents via exp2/log2 — XLA's generic array-
+    exponent pow lowering measured ~300x slower than the transcendental pair.
+    Matches jnp.power for x > 0; returns 0 for x <= 0 (shading usage)."""
+    safe = jnp.maximum(x, 1e-30)
+    out = jnp.exp2(e * jnp.log2(safe))
+    return jnp.where(x > 0.0, out, 0.0)
 
 
 def object_space_rays(
@@ -106,21 +256,28 @@ def object_space_rays(
 ) -> tuple[Array, Array]:
     """Planar object-space rays of each ray's (gathered) instance: the
     per-ray analogue of the Trace kernel's MatMul with the cached inverse
-    transform (kernel_main.cl:205-207). 12 tiny-table gathers + fused FMAs."""
-    inv = scene.instances.inverse_transform
-    m = lambda a, b: jnp.take(inv[:, a, b], instance_idx, mode="clip")
+    transform (kernel_main.cl:205-207)."""
+    inst_rows = _shading_tables(scene, prefer_packed=False).inst_rows
+    m = gather.take_rows(inst_rows, instance_idx)
+    return _transform_rays(m, origin, direction)
+
+
+def _transform_rays(
+    m: Array, origin: Array, direction: Array
+) -> tuple[Array, Array]:
+    """Row-vector transform by per-ray matrix entries ``m`` [17, *S]."""
     o = jnp.stack(
         [
-            origin[0] * m(0, 0) + origin[1] * m(1, 0) + origin[2] * m(2, 0) + m(3, 0),
-            origin[0] * m(0, 1) + origin[1] * m(1, 1) + origin[2] * m(2, 1) + m(3, 1),
-            origin[0] * m(0, 2) + origin[1] * m(1, 2) + origin[2] * m(2, 2) + m(3, 2),
+            origin[0] * m[0] + origin[1] * m[4] + origin[2] * m[8] + m[12],
+            origin[0] * m[1] + origin[1] * m[5] + origin[2] * m[9] + m[13],
+            origin[0] * m[2] + origin[1] * m[6] + origin[2] * m[10] + m[14],
         ]
     )
     d = jnp.stack(
         [
-            direction[0] * m(0, 0) + direction[1] * m(1, 0) + direction[2] * m(2, 0),
-            direction[0] * m(0, 1) + direction[1] * m(1, 1) + direction[2] * m(2, 1),
-            direction[0] * m(0, 2) + direction[1] * m(1, 2) + direction[2] * m(2, 2),
+            direction[0] * m[0] + direction[1] * m[4] + direction[2] * m[8],
+            direction[0] * m[1] + direction[1] * m[5] + direction[2] * m[9],
+            direction[0] * m[2] + direction[1] * m[6] + direction[2] * m[10],
         ]
     )
     return o, d
@@ -128,7 +285,7 @@ def object_space_rays(
 
 class BounceState(NamedTuple):
     """Per-ray accumulation state across the 2-bounce loop
-    (kernel_main.cl:183-186). All vectors planar [3, N]."""
+    (kernel_main.cl:183-186). All vectors planar [3, *spatial]."""
 
     result: Array
     energy: Array
@@ -136,40 +293,42 @@ class BounceState(NamedTuple):
     light_dir: Array
     origin: Array
     direction: Array
-    alive: Array  # [N] bool
+    alive: Array  # [*spatial] bool
 
 
-def initial_bounce_state(origin: Array, direction: Array, sun_angle: Array) -> BounceState:
-    """``origin``/``direction``: planar [3, N]."""
-    n = direction.shape[1]
-    zeros = jnp.zeros((3, n), jnp.float32)
+def initial_bounce_state(
+    origin: Array, direction: Array, sun_angle: Array
+) -> BounceState:
+    """``origin``/``direction``: planar [3, *spatial]."""
+    spatial = direction.shape[1:]
+    zeros = jnp.zeros((3,) + spatial, jnp.float32)
     sun = jnp.stack(
         [jnp.zeros_like(sun_angle), jnp.sin(sun_angle), jnp.cos(sun_angle)]
     )
+    expand = (...,) + (None,) * len(spatial)
     return BounceState(
         result=zeros,
-        energy=jnp.ones((3, n), jnp.float32),
+        energy=jnp.ones((3,) + spatial, jnp.float32),
         atmospheric=jnp.broadcast_to(
-            jnp.asarray([0.255, 0.25, 0.27], jnp.float32)[:, None], (3, n)
+            jnp.asarray([0.255, 0.25, 0.27], jnp.float32)[expand],
+            (3,) + spatial,
         ),
-        light_dir=jnp.broadcast_to(sun[:, None], (3, n)),
+        light_dir=jnp.broadcast_to(sun[expand], (3,) + spatial),
         origin=origin,
         direction=direction,
-        alive=jnp.ones(n, bool),
+        alive=jnp.ones(spatial, bool),
     )
 
 
 def shade_hits(
     scene: Scene,
     state: BounceState,
-    t: Array,  # [N] hit distance (object-space, as in the reference)
+    t: Array,  # [*S] hit distance (object-space, as in the reference)
     u: Array,
     v: Array,
-    tri_idx: Array,  # [N] i32
-    instance_idx: Array,  # [N] i32
-    hit: Array,  # [N] bool
-    mesh_origin: Array,  # [3, N] object-space ray of the hit instance
-    mesh_direction: Array,  # [3, N]
+    tri_idx: Array,  # [*S] i32
+    instance_idx: Array,  # [*S] i32
+    hit: Array,  # [*S] bool
     reference_parity: bool = True,
     integer_colors: bool = True,
 ) -> BounceState:
@@ -179,17 +338,25 @@ def shade_hits(
     the Phong block (kernel_main.cl:226-271). ``reference_parity`` keeps the
     kernel's hard-coded specular(0.2)/roughness(0.5)/shininess(1.0) overrides
     (kernel_main.cl:248-250). ``integer_colors`` selects the bit-faithful u8
-    modulate (non-differentiable) vs the float path used for gradients.
+    modulate (non-differentiable) vs the float path used for gradients —
+    the float path also builds its gather tables in-jit from the canonical
+    (differentiable) scene leaves.
     """
-    tris = scene.tris
-    mats = scene.materials
+    atlas = scene.atlas
+    fast = integer_colors and scene.packed is not None
+    tables = _shading_tables(scene, prefer_packed=fast)
 
     # ---- miss: skybox -----------------------------------------------------
-    sky = sample_skybox_planar(
-        scene.atlas,
-        jnp.full(t.shape, scene.skybox_tex, jnp.int32),
-        state.direction,
-    )
+    if fast:
+        pk = scene.packed
+        sky = sample_skybox_static(
+            atlas, pk.skybox_w, pk.skybox_h, pk.skybox_off, state.direction
+        )
+    else:
+        sky = sample_skybox_planar(
+            atlas, jnp.full(t.shape, scene.skybox_tex, jnp.int32),
+            state.direction,
+        )
     miss_now = state.alive & ~hit
     result = planar.where(
         miss_now, state.result + sky * state.energy, state.result
@@ -197,75 +364,78 @@ def shade_hits(
 
     live = state.alive & hit
 
-    # ---- gather hit attributes (per-channel: slice table column, gather) --
-    def gcol(table: Array, c: int) -> Array:
-        return jnp.take(table[:, c], tri_idx, mode="clip").astype(jnp.float32)
+    # ---- the three table fetches -----------------------------------------
+    # fast: one-hot MXU gathers (~0.1 ms); diff: row gathers — same values,
+    # but exact (scatter-add) gradients instead of bf16-rounded matmul VJPs
+    small_rows = gather.onehot_rows if fast else gather.take_rows
+    attr = gather.take_rows(tables.tri_attr, tri_idx)  # [16, *S]
+    inst = small_rows(tables.inst_rows, instance_idx)  # [17, *S]
+    mat_start = inst[16].astype(jnp.int32)
+    mat_id = mat_start + attr[15].astype(jnp.int32)
+    mat = small_rows(tables.mat_rows, mat_id)  # [16, *S]
 
-    mat_id = (
-        jnp.take(scene.instances.material_start, instance_idx, mode="clip")
-        + jnp.take(tris.mat_idx, tri_idx, mode="clip")
+    alb_rgb = mat[0:3]
+    spec_rgb = mat[3:6]
+    rec = lambda base: (
+        mat[base],
+        mat[base + 1],
+        mat[base + 2].astype(jnp.int32) * (1 << _OFF_SHIFT)
+        + mat[base + 3].astype(jnp.int32),
     )
-    mgather = lambda arr: jnp.take(arr, mat_id, mode="clip")
 
+    # ---- object-space ray of the winning instance ------------------------
+    # (the reference transforms per instance in-kernel, kernel_main.cl:205-207;
+    # tracers return object-space t, and the reference reuses the object-space
+    # hit point directly as the next world origin, kernel_main.cl:246-253)
+    mesh_origin, mesh_direction = _transform_rays(
+        inst, state.origin, state.direction
+    )
+
+    # ---- attribute interpolation -----------------------------------------
     w0 = 1.0 - u - v
-    bary = (w0, u, v)
-
-    # instance inverse 3x3 per ray (12 tiny-table gathers)
-    inv = scene.instances.inverse_transform
-    minv = lambda a, b: jnp.take(inv[:, a, b], instance_idx, mode="clip")
-
-    # normals: object → world via n @ inv[:3,:3] (kernel_main.cl:232-236)
-    def world_normal(table: Array) -> Array:
-        nx, ny, nz = gcol(table, 0), gcol(table, 1), gcol(table, 2)
-        return jnp.stack(
+    # lerp in object space, then one transform by the inverse 3x3 (the two
+    # commute — the map is linear; one transform is 2x fewer FMAs)
+    n_obj = jnp.stack(
+        [
+            attr[c] * w0 + attr[3 + c] * u + attr[6 + c] * v
+            for c in range(3)
+        ]
+    )
+    normal = planar.normalize(
+        jnp.stack(
             [
-                nx * minv(0, 0) + ny * minv(1, 0) + nz * minv(2, 0),
-                nx * minv(0, 1) + ny * minv(1, 1) + nz * minv(2, 1),
-                nx * minv(0, 2) + ny * minv(1, 2) + nz * minv(2, 2),
+                n_obj[0] * inst[0] + n_obj[1] * inst[4] + n_obj[2] * inst[8],
+                n_obj[0] * inst[1] + n_obj[1] * inst[5] + n_obj[2] * inst[9],
+                n_obj[0] * inst[2] + n_obj[1] * inst[6] + n_obj[2] * inst[10],
             ]
         )
-
-    n0 = world_normal(tris.n0)
-    n1 = world_normal(tris.n1)
-    n2 = world_normal(tris.n2)
-    normal = planar.normalize(
-        planar.scale(n0, bary[0]) + planar.scale(n1, bary[1]) + planar.scale(n2, bary[2])
     )
+    uu = attr[9] * w0 + attr[11] * u + attr[13] * v
+    vv = attr[10] * w0 + attr[12] * u + attr[14] * v
 
-    uu = gcol(tris.uv0, 0) * w0 + gcol(tris.uv1, 0) * u + gcol(tris.uv2, 0) * v
-    vv = gcol(tris.uv0, 1) * w0 + gcol(tris.uv1, 1) * u + gcol(tris.uv2, 1) * v
-
-    texel = sample_texture_planar(scene.atlas, mgather(mats.albedo_tex), uu, vv)
+    # ---- texture + material color ----------------------------------------
+    aw, ah, aoff = rec(8)
+    texel = sample_pool_planar(atlas, aw, ah, aoff, uu, vv)
     if integer_colors:
-        color = _modulate_u32(texel, mgather(mats.color_u32))
+        color = _modulate_bytes(texel, alb_rgb)
     else:
-        alb = mats.albedo
-        color = texel * jnp.stack(
-            [jnp.take(alb[:, c], mat_id, mode="clip") for c in range(3)]
-        )
+        color = texel * alb_rgb
 
     if reference_parity:
         # kernel_main.cl:248-250 overrides material properties
         specular_color = jnp.full_like(color, 0.2)
         roughness = jnp.full_like(t, 0.5)
-        shininess = jnp.full_like(t, 1.0)
+        shininess = None  # constant 1.0 — the pow is skipped below
     else:
-        spec_texel = sample_texture_planar(
-            scene.atlas, mgather(mats.specular_tex), uu, vv
-        )
+        sw, sh, soff = rec(12)
+        spec_texel = sample_pool_planar(atlas, sw, sh, soff, uu, vv)
         if integer_colors:
-            specular_color = _modulate_u32(spec_texel, mgather(mats.specular_u32))
+            specular_color = _modulate_bytes(spec_texel, spec_rgb)
         else:
-            spec = mats.specular
-            specular_color = spec_texel * jnp.stack(
-                [jnp.take(spec[:, c], mat_id, mode="clip") for c in range(3)]
-            )
-        roughness = mgather(mats.roughness)
-        shininess = mgather(mats.shininess)
+            specular_color = spec_texel * spec_rgb
+        roughness = mat[7]
+        shininess = mat[6]
 
-    # hit point in the hit instance's object space — the reference reuses it
-    # directly as the next world-space origin (kernel_main.cl:246-253); with
-    # identity instance transforms the two coincide.
     point = mesh_origin + planar.scale(mesh_direction, t)
     new_origin = point + normal * 0.01
     new_direction = planar.reflect(state.direction, normal)
@@ -279,13 +449,13 @@ def shade_hits(
     ndl = jnp.maximum(ndl_raw, 0.0)
     specular = planar.scale(specular_color, (1.0 - roughness) * ndl * shadow * ndl)
     refl_light = planar.reflect(-state.light_dir, normal)
-    spec_light = (
-        ndl
-        * jnp.power(
-            jnp.maximum(planar.dot(refl_light, mesh_direction), 0.0), shininess
-        )
-        * 0.2
-    )
+    rdm = jnp.maximum(planar.dot(refl_light, mesh_direction), 0.0)
+    if shininess is None:
+        # reference-parity shininess is the constant 1.0 override
+        spec_pow = rdm
+    else:
+        spec_pow = _pow_fast(rdm, shininess)
+    spec_light = ndl * spec_pow * 0.2
 
     contrib = (
         planar.scale(state.energy * color, ndl)

@@ -288,20 +288,10 @@ def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
 
     tri = jnp.take(clusters.tri_gid, tri_slot, mode="clip")
 
-    # object-space ray of the winning instance (needed by shading) — planar
-    # per-column gathers; interleaved [N,4,4] gathers are layout-hostile
-    from clraytracer_tpu.ops import planar
-    from clraytracer_tpu.ops.shade import object_space_rays
-
-    mo_p, md_p = object_space_rays(
-        scene,
-        inst.reshape(-1),
-        planar.from_last(origin.reshape(-1, 3)),
-        planar.from_last(direction.reshape(-1, 3)),
-    )
-    mesh_origin = planar.to_last(mo_p, shape)
-    mesh_direction = planar.to_last(md_p, shape)
-
+    # NOTE deliberately no mesh_origin/mesh_direction here: reconstructing
+    # the object-space ray per ray costs a per-ray instance gather, which
+    # shading already performs (and shares) — doing it here too measured
+    # ~60 ms/bounce of pure waste at 1080p.
     return SceneHit(
         t=jnp.where(hit, t, MISS_DISTANCE),
         u=u,
@@ -309,6 +299,4 @@ def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
         tri=tri,
         instance=inst,
         hit=hit,
-        mesh_origin=mesh_origin,
-        mesh_direction=mesh_direction,
     )

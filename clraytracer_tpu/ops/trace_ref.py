@@ -38,8 +38,13 @@ _PROTECTION = 250
 
 
 class SceneHit(NamedTuple):
-    """Closest hit across all instances, plus the object-space ray of the
-    winning instance (needed by shading, kernel_main.cl:246-265)."""
+    """Closest hit across all instances.
+
+    ``mesh_origin``/``mesh_direction`` (the object-space ray of the winning
+    instance, kernel_main.cl:246-265) are filled by the tracers that compute
+    them per instance anyway (brute/bvh/wavefront); shading does NOT read
+    them — it reconstructs the object-space ray from its own instance gather
+    (ops/shade.py), so gather-free tracers (Pallas) leave them None."""
 
     t: Array  # [...]
     u: Array  # [...]
@@ -47,8 +52,8 @@ class SceneHit(NamedTuple):
     tri: Array  # [...] i32 (global triangle index)
     instance: Array  # [...] i32
     hit: Array  # [...] bool
-    mesh_origin: Array  # [..., 3]
-    mesh_direction: Array  # [..., 3]
+    mesh_origin: Array | None = None  # [..., 3]
+    mesh_direction: Array | None = None  # [..., 3]
 
 
 def _instance_tables(scene: Scene) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -74,7 +74,7 @@ def _shade_rows(
         row_start=row_start,
         num_rows=local_rows,
     )
-    origin = jnp.broadcast_to(frame.camera_position[:, None], dirs.shape)
+    origin = jnp.broadcast_to(frame.camera_position[:, None, None], dirs.shape)
     result = trace_planar(
         scene, origin, dirs, frame.sun_angle, bounces, tracer,
         reference_parity, integer_colors,

@@ -25,7 +25,6 @@ from clraytracer_tpu.ops.post import post_process
 from clraytracer_tpu.ops.shade import (
     BounceState,
     initial_bounce_state,
-    object_space_rays,
     shade_hits,
 )
 from clraytracer_tpu.ops.trace_ref import SceneHit, trace_brute, trace_bvh
@@ -69,25 +68,24 @@ def frame_inputs_from_camera(camera: Camera, sun_angle: float) -> FrameInputs:
 
 def trace_planar(
     scene: Scene,
-    origin: Array,  # [3, N]
-    direction: Array,  # [3, N]
+    origin: Array,  # [3, *spatial]
+    direction: Array,  # [3, *spatial]
     sun_angle: Array,
     bounces: int,
     tracer: Tracer,
     reference_parity: bool,
     integer_colors: bool,
 ) -> Array:
-    """N-bounce trace + shade over planar rays; returns [3, N] radiance."""
-    n = origin.shape[1]
+    """N-bounce trace + shade over planar rays; returns [3, *spatial]
+    radiance. Shading reconstructs the object-space ray of the winning
+    instance itself from its instance gather (ops/shade.py)."""
+    spatial = origin.shape[1:]
     state = initial_bounce_state(origin, direction, sun_angle)
     for _ in range(bounces):
         hit = tracer(
             scene,
-            planar.to_last(state.origin, (n,)),
-            planar.to_last(state.direction, (n,)),
-        )
-        mesh_o, mesh_d = object_space_rays(
-            scene, hit.instance, state.origin, state.direction
+            planar.to_last(state.origin, spatial),
+            planar.to_last(state.direction, spatial),
         )
         state = shade_hits(
             scene,
@@ -98,8 +96,6 @@ def trace_planar(
             tri_idx=hit.tri,
             instance_idx=hit.instance,
             hit=hit.hit,
-            mesh_origin=mesh_o,
-            mesh_direction=mesh_d,
             reference_parity=reference_parity,
             integer_colors=integer_colors,
         )
@@ -120,8 +116,8 @@ def trace_image(
     output image (kernel_main.cl:164-275)."""
     dirs = ray_directions_planar(
         frame.inverse_view, frame.inverse_projection, width, height
-    )
-    origin = jnp.broadcast_to(frame.camera_position[:, None], dirs.shape)
+    )  # [3, H, W]
+    origin = jnp.broadcast_to(frame.camera_position[:, None, None], dirs.shape)
     result = trace_planar(
         scene, origin, dirs, frame.sun_angle, bounces, tracer,
         reference_parity, integer_colors,

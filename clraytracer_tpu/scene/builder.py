@@ -33,6 +33,7 @@ from clraytracer_tpu.scene.types import (
     Clusters,
     Instances,
     Materials,
+    PackedTables,
     Scene,
     TextureAtlas,
     Triangles,
@@ -259,21 +260,26 @@ class SceneBuilder:
                 min_leaf=min_leaf, max_leaf=max_leaf,
             )
         p = build.perm
-        # keep host copies for cluster building — reading device arrays back
-        # over a tunneled TPU costs tens of seconds
+        # keep host copies for cluster/packed-table building — reading device
+        # arrays back over a tunneled TPU costs tens of seconds
         hv0, hv1, hv2 = concat.v0[p], concat.v1[p], concat.v2[p]
+        h_uv = [math3d.to_half(concat.uv0[p]), math3d.to_half(concat.uv1[p]),
+                math3d.to_half(concat.uv2[p])]
+        h_n = [math3d.to_half(concat.n0[p]), math3d.to_half(concat.n1[p]),
+               math3d.to_half(concat.n2[p])]
+        h_mat_idx = concat.mat_idx[p]
 
         tris = Triangles(
             v0=jnp.asarray(hv0),
             v1=jnp.asarray(hv1),
             v2=jnp.asarray(hv2),
-            uv0=jnp.asarray(math3d.to_half(concat.uv0[p])),
-            uv1=jnp.asarray(math3d.to_half(concat.uv1[p])),
-            uv2=jnp.asarray(math3d.to_half(concat.uv2[p])),
-            n0=jnp.asarray(math3d.to_half(concat.n0[p])),
-            n1=jnp.asarray(math3d.to_half(concat.n1[p])),
-            n2=jnp.asarray(math3d.to_half(concat.n2[p])),
-            mat_idx=jnp.asarray(concat.mat_idx[p]),
+            uv0=jnp.asarray(h_uv[0]),
+            uv1=jnp.asarray(h_uv[1]),
+            uv2=jnp.asarray(h_uv[2]),
+            n0=jnp.asarray(h_n[0]),
+            n1=jnp.asarray(h_n[1]),
+            n2=jnp.asarray(h_n[2]),
+            mat_idx=jnp.asarray(h_mat_idx),
         )
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
         bvh = BVH(
@@ -329,12 +335,93 @@ class SceneBuilder:
         )
 
         skybox = 2 if self.atlas.num_textures > 2 else WHITE_TEXTURE
+        instances = self.instance_arrays()
+        packed = self._packed_tables(
+            h_n, h_uv, h_mat_idx, albedo, specular, width, height, offset, skybox
+        )
         return Scene(
             clusters=clusters,
             tris=tris,
             bvh=bvh,
             materials=materials,
             atlas=atlas,
-            instances=self.instance_arrays(),
+            instances=instances,
+            packed=packed,
             skybox_tex=skybox,
+        )
+
+    def _packed_tables(
+        self,
+        h_n: list[np.ndarray],
+        h_uv: list[np.ndarray],
+        h_mat_idx: np.ndarray,
+        albedo: np.ndarray,
+        specular: np.ndarray,
+        tex_width: np.ndarray,
+        tex_height: np.ndarray,
+        tex_offset: np.ndarray,
+        skybox: int,
+    ) -> PackedTables:
+        """Derive the gather-friendly tables (ops/gather.py): one wide f32
+        row per triangle, small f32 row tables for the one-hot MXU gathers
+        of instances/materials, and denormalized per-material texture
+        records (killing the dependent tex-record gather in shading). All
+        inputs are host numpy (device readback over a tunneled TPU is ~60 s
+        flat). Layouts mirror ops/shade.ShadingTables exactly —
+        tests assert the packed tables equal the in-jit-built ones."""
+        from clraytracer_tpu.ops.shade import _OFF_MASK, _OFF_SHIFT
+
+        f32 = lambda a: np.asarray(a, np.float32)
+        tri_attr = np.concatenate(
+            [
+                f32(h_n[0]), f32(h_n[1]), f32(h_n[2]),
+                f32(h_uv[0]), f32(h_uv[1]), f32(h_uv[2]),
+                f32(h_mat_idx)[:, None],
+            ],
+            axis=1,
+        )
+
+        if self._instances:
+            inv = np.stack(
+                [np.linalg.inv(r.transform).astype(np.float32) for r in self._instances]
+            ).reshape(-1, 16)
+            mat_start = np.array(
+                [r.material_start for r in self._instances], np.float32
+            )
+            inst_rows = np.concatenate([inv, mat_start[:, None]], axis=1)
+        else:
+            inst_rows = np.zeros((1, 17), np.float32)
+
+        texrec = lambda ti: np.stack(
+            [
+                tex_width[ti],
+                tex_height[ti],
+                tex_offset[ti] >> _OFF_SHIFT,
+                tex_offset[ti] & _OFF_MASK,
+            ],
+            axis=1,
+        ).astype(np.float32)
+        a_tex = np.array([m.albedo_tex for m in self._materials])
+        s_tex = np.array([m.specular_tex for m in self._materials])
+        mat_rows = np.concatenate(
+            [
+                albedo,
+                specular,
+                np.array(
+                    [[m.shininess, m.roughness] for m in self._materials],
+                    np.float32,
+                ),
+                texrec(a_tex),
+                texrec(s_tex),
+            ],
+            axis=1,
+        ).astype(np.float32)
+
+        return PackedTables(
+            tri_attr=jnp.asarray(tri_attr),
+            inst_rows=jnp.asarray(inst_rows),
+            mat_rows=jnp.asarray(mat_rows),
+            skybox_w=int(tex_width[skybox]),
+            skybox_h=int(tex_height[skybox]),
+            skybox_off=int(tex_offset[skybox]),
         )

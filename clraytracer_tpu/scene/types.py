@@ -167,6 +167,27 @@ class Clusters:
 
 
 @pytree_dataclass
+class PackedTables:
+    """Gather-friendly derived tables (see ops/gather.py and
+    ops/shade.ShadingTables for the column layouts).
+
+    Everything here is a pure re-layout of the canonical Scene arrays,
+    rebuilt by the SceneBuilder whenever materials/instances change.
+    Texel-pool offsets are stored hi/lo-split (shade._OFF_SHIFT) so every
+    integer column stays f32-exact below 2^24.
+    """
+
+    tri_attr: Array  # [T, 16] f32: n0 n1 n2 | uv0 uv1 uv2 | mat_local
+    inst_rows: Array  # [I, 17] f32: inverse transform (row-major) | mat_start
+    mat_rows: Array  # [M, 16] f32: albedo spec shin rough | tex records
+    #: Static skybox texture record (texture sizes are build-time constants;
+    #: static ints let XLA fold the equirect index math).
+    skybox_w: int = static_field(default=1)
+    skybox_h: int = static_field(default=1)
+    skybox_off: int = static_field(default=0)
+
+
+@pytree_dataclass
 class Scene:
     """Complete renderable scene state — the single pytree handed to jitted
     render/trace functions (and sharded/replicated across the device mesh)."""
@@ -178,6 +199,10 @@ class Scene:
     instances: Instances
     #: Cluster tables for the Pallas tracer (None → builder skipped them).
     clusters: "Clusters | None" = None
+    #: Gather-friendly derived tables (None → shading falls back to building
+    #: them in-jit from the canonical arrays, which is also the
+    #: differentiable path).
+    packed: "PackedTables | None" = None
     #: Texture index used for the equirect skybox (reference hardcodes
     #: textures[2], kernel_main.cl:220).
     skybox_tex: int = static_field(default=2)

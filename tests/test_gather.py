@@ -1,0 +1,64 @@
+"""Tests for the TPU gather layer (ops/gather.py) and packed shading tables."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from clraytracer_tpu.ops import gather
+from clraytracer_tpu.ops.shade import build_shading_tables, refresh_packed
+
+
+def test_take_rows_matches_naive():
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((40, 7)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 40, (5, 6)), jnp.int32)
+    out = gather.take_rows(table, idx)
+    assert out.shape == (7, 5, 6)
+    expect = np.asarray(table)[np.asarray(idx)]  # [5, 6, 7]
+    np.testing.assert_array_equal(np.asarray(out), np.moveaxis(expect, -1, 0))
+
+
+def test_onehot_rows_exact_f32():
+    rng = np.random.default_rng(1)
+    # adversarial values: huge exponent spread + exact integers
+    vals = rng.standard_normal((64, 9)) * np.exp2(rng.integers(-30, 30, (64, 9)))
+    vals[:, 3] = rng.integers(0, 1 << 24, 64)  # int columns must stay exact
+    table = jnp.asarray(vals, jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 64, 257), jnp.int32)
+    out = gather.onehot_rows(table, idx)
+    expect = np.moveaxis(np.asarray(table)[np.asarray(idx)], -1, 0)
+    np.testing.assert_array_equal(np.asarray(out), expect)
+
+
+def test_onehot_rows_clamps_out_of_range():
+    table = jnp.asarray([[1.0], [2.0], [3.0]])
+    idx = jnp.asarray([-5, 0, 2, 7])
+    out = np.asarray(gather.onehot_rows(table, idx))[0]
+    np.testing.assert_array_equal(out, [1.0, 1.0, 3.0, 3.0])
+
+
+def test_packed_tables_match_injit_build(sphere_scene):
+    """The builder's host-packed tables must be bit-identical to the
+    in-jit (differentiable) build — shading's fast and slow paths agree."""
+    tabs = build_shading_tables(sphere_scene)
+    pk = sphere_scene.packed
+    assert pk is not None
+    np.testing.assert_array_equal(np.asarray(pk.tri_attr), np.asarray(tabs.tri_attr))
+    np.testing.assert_array_equal(np.asarray(pk.inst_rows), np.asarray(tabs.inst_rows))
+    np.testing.assert_array_equal(np.asarray(pk.mat_rows), np.asarray(tabs.mat_rows))
+
+
+def test_refresh_packed_tracks_material_edit(sphere_scene):
+    mats = dataclasses.replace(
+        sphere_scene.materials,
+        albedo=sphere_scene.materials.albedo * 0.5,
+    )
+    edited = dataclasses.replace(sphere_scene, materials=mats)
+    refreshed = refresh_packed(edited)
+    tabs = build_shading_tables(edited)
+    np.testing.assert_array_equal(
+        np.asarray(refreshed.packed.mat_rows), np.asarray(tabs.mat_rows)
+    )
+    # skybox statics carry over
+    assert refreshed.packed.skybox_w == sphere_scene.packed.skybox_w

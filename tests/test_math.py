@@ -53,14 +53,31 @@ def test_pack_unpack_roundtrip():
 
 
 def test_multiply_color_u32_matches_integer_reference():
-    # ((a_channel * texel_byte) >> 8) / 255, per channel
+    # ((a_channel * texel_byte) >> 8) / 255, per channel; pack rounds to
+    # nearest (0.5 → 128, 0.25 → 64)
     texel = jnp.asarray([[200, 100, 50]], jnp.uint32)
     color = jnp.asarray([math3d.pack_rgb_u32(np.array([1.0, 0.5, 0.25]))])
     out = np.asarray(math3d.multiply_color_u32(texel, color))[0]
     expect = np.array(
-        [(255 * 200) >> 8, (127 * 100) >> 8, (63 * 50) >> 8], np.float32
+        [(255 * 200) >> 8, (128 * 100) >> 8, (64 * 50) >> 8], np.float32
     ) / 255.0
     np.testing.assert_allclose(out, expect, atol=1e-7)
+
+
+def test_modulate_bytes_matches_integer_path():
+    from clraytracer_tpu.ops.shade import _modulate_bytes
+
+    rng = np.random.default_rng(0)
+    tex_u8 = rng.integers(0, 256, (3, 64)).astype(np.uint32)
+    mat_u8 = rng.integers(0, 256, (3, 64)).astype(np.uint32)
+    expect = ((mat_u8 * tex_u8) >> 8).astype(np.float32) / 255.0
+    got = np.asarray(
+        _modulate_bytes(
+            jnp.asarray(tex_u8.astype(np.float32) / 255.0),
+            jnp.asarray(mat_u8.astype(np.float32) / 255.0),
+        )
+    )
+    np.testing.assert_allclose(got, expect, atol=1e-7)
 
 
 def test_reflect():
