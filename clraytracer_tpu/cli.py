@@ -57,7 +57,13 @@ def build_scene(spec: str, tris: int = 4096):
         mesh = b.add_mesh(sphere_field(n_side=6, n_lat=16, n_lon=32), materials_start=mat)
         b.add_instance(mesh)
     else:
-        mesh = b.import_mesh(Path(spec))
+        path = Path(spec)
+        if not path.exists():
+            raise SystemExit(
+                f"error: scene '{spec}' is neither a named scene "
+                f"(sphere, two, field) nor an existing OBJ path"
+            )
+        mesh = b.import_mesh(path)
         b.add_instance(mesh)
     return b.build()
 

@@ -44,6 +44,7 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
     geometry and instance transforms."""
 
     def traced(scene: Scene, origin: Array, direction: Array) -> SceneHit:
+        """``origin``/``direction``: planar [3, ...]."""
         # discrete structure: no gradients through the traversal itself
         hit = jax.lax.stop_gradient(
             base_tracer(
@@ -52,17 +53,10 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
                 jax.lax.stop_gradient(direction),
             )
         )
-        shape = origin.shape[:-1]
-        tri = hit.tri.reshape(-1)
-        inst = hit.instance.reshape(-1)
+        tri = hit.tri
         # differentiable recompute of the object-space ray for the winning
         # instance (gradients flow into instance inverse transforms); planar
-        o, d = object_space_rays(
-            scene,
-            inst,
-            planar.from_last(origin.reshape(-1, 3)),
-            planar.from_last(direction.reshape(-1, 3)),
-        )
+        o, d = object_space_rays(scene, hit.instance, origin, direction)
         # differentiable planar Möller-Trumbore against the hit triangle
         gc = lambda table, c: jnp.take(table[:, c], tri, mode="clip")
         v0 = jnp.stack([gc(scene.tris.v0, c) for c in range(3)])
@@ -78,16 +72,14 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
         v = f * planar.dot(d, q)
         t = f * planar.dot(e2, q)
 
-        keep = hit.hit.reshape(-1)
+        keep = hit.hit
         return SceneHit(
-            t=jnp.where(keep, t, MISS_DISTANCE).reshape(shape),
-            u=jnp.where(keep, u, 0.0).reshape(shape),
-            v=jnp.where(keep, v, 0.0).reshape(shape),
+            t=jnp.where(keep, t, MISS_DISTANCE),
+            u=jnp.where(keep, u, 0.0),
+            v=jnp.where(keep, v, 0.0),
             tri=hit.tri,
             instance=hit.instance,
             hit=hit.hit,
-            mesh_origin=planar.to_last(o, shape),
-            mesh_direction=planar.to_last(d, shape),
         )
 
     return traced

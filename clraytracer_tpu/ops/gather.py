@@ -75,5 +75,9 @@ def onehot_rows(table: Array, idx: Array) -> Array:
         oh, planes, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [N, 3W] f32, each element exact
-    out = out[:, :width] + out[:, width : 2 * width] + out[:, 2 * width :]
-    return out.T.reshape((width,) + idx.shape)
+    # transpose to [3W, N] BEFORE slicing/adding: [N, 3W] ops pad the minor
+    # dim 3W→128 lanes (measured ~9 ms of waste at 2M rays); [3W, N] pads
+    # only 3W→next multiple of 8 sublanes
+    out = out.T
+    out = out[:width] + out[width : 2 * width] + out[2 * width :]
+    return out.reshape((width,) + idx.shape)

@@ -58,8 +58,12 @@ def _make_kernel(instance_ranges: tuple[tuple[int, int, int, int], ...]):
     n_instances = len(instance_ranges)
 
     def kernel(
-        o_ref,  # [3, 8, 128] tile ray origins (world)
-        d_ref,  # [3, 8, 128] tile ray directions (world)
+        ox_ref,  # [8, 128] tile ray origin x (world)
+        oy_ref,
+        oz_ref,
+        dx_ref,  # [8, 128] tile ray direction x (world)
+        dy_ref,
+        dz_ref,
         inv_ref,  # [I, 16] instance inverse transforms (row-major, row-vector)
         scab_ref,  # [S, 8] supercluster AABBs (min xyz, max xyz)
         clab_ref,  # [C, 8] cluster AABBs
@@ -74,8 +78,8 @@ def _make_kernel(instance_ranges: tuple[tuple[int, int, int, int], ...]):
         sc_scratch,  # SMEM [S_total] i32
         cl_scratch,  # SMEM [C_total] i32
     ):
-        ox_w, oy_w, oz_w = o_ref[0], o_ref[1], o_ref[2]
-        dx_w, dy_w, dz_w = d_ref[0], d_ref[1], d_ref[2]
+        ox_w, oy_w, oz_w = ox_ref[...], oy_ref[...], oz_ref[...]
+        dx_w, dy_w, dz_w = dx_ref[...], dy_ref[...], dz_ref[...]
 
         best_t = jnp.full((8, 128), _BIG, jnp.float32)
         best_u = jnp.zeros((8, 128), jnp.float32)
@@ -196,8 +200,7 @@ def _make_kernel(instance_ranges: tuple[tuple[int, int, int, int], ...]):
 
 @functools.partial(jax.jit, static_argnames=("instance_ranges",))
 def _trace_tiles(
-    o_tiles: Array,  # [T, 3, 8, 128]
-    d_tiles: Array,  # [T, 3, 8, 128]
+    rays6: tuple[Array, ...],  # 6 x [T, 8, 128]: ox oy oz dx dy dz
     inv: Array,  # [I, 16]
     scab: Array,  # [S, 8]
     clab: Array,  # [C, 8]
@@ -206,12 +209,16 @@ def _trace_tiles(
     tri_c: Array,  # [C, 128]
     instance_ranges: tuple[tuple[int, int, int, int], ...],
 ):
-    n_tiles = o_tiles.shape[0]
+    n_tiles = rays6[0].shape[0]
     kernel = _make_kernel(instance_ranges)
     # tests and the golden path run on CPU: interpret the kernel there
     interpret = jax.default_backend() != "tpu"
+    # each ray component arrives as its own [T, 8, 128] array — a pure
+    # reshape of a planar [N] row, and a simple dense block per tile.
+    # (A combined [3, T, 8, 128] input with block (3, None, 8, 128) made
+    # Mosaic's pipelining pathological: single-kernel compiles took 490 s.)
     tile_spec = pl.BlockSpec(
-        (None, 3, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        (None, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0))
@@ -226,46 +233,47 @@ def _trace_tiles(
             jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
         ),
-        in_specs=[tile_spec, tile_spec, full, full, full, full, full, full],
+        in_specs=[tile_spec] * 6 + [full] * 6,
         out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
         scratch_shapes=[
             pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
             pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
         ],
         interpret=interpret,
-    )(o_tiles, d_tiles, inv, scab, clab, tri_a, tri_b, tri_c)
+    )(*rays6, inv, scab, clab, tri_a, tri_b, tri_c)
 
 
 def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
-    """Drop-in Tracer backed by the Pallas tile kernel."""
+    """Drop-in Tracer backed by the Pallas tile kernel.
+    ``origin``/``direction``: planar [3, ...] — tiling is a pure reshape."""
     clusters = scene.clusters
     assert clusters is not None, "scene built without cluster tables"
-    shape = origin.shape[:-1]
+    shape = origin.shape[1:]
     n = int(np.prod(shape)) if shape else 1
     n_tiles = -(-n // TILE)
     pad = n_tiles * TILE - n
 
-    def tile_layout(x: Array) -> Array:
-        flat = x.reshape(-1, 3)
+    def tile_layout(x: Array, pad_value: float) -> Array:
+        """One planar component [N] → [T, 8, 128] (pure reshape + pad)."""
+        flat = x.reshape(-1)
         if pad:
-            flat = jnp.concatenate([flat, jnp.zeros((pad, 3), flat.dtype)])
-        # [T*1024, 3] → [T, 3, 8, 128]
-        return flat.reshape(n_tiles, 8, 128, 3).transpose(0, 3, 1, 2)
+            # non-zero pad for directions so 1/d stays finite in pad lanes
+            flat = jnp.concatenate(
+                [flat, jnp.full((pad,), pad_value, flat.dtype)]
+            )
+        return flat.reshape(n_tiles, 8, 128)
 
-    o_tiles = tile_layout(origin)
-    # pad directions with a non-zero constant so 1/d is finite for pad lanes
-    d_flat = direction.reshape(-1, 3)
-    if pad:
-        d_flat = jnp.concatenate([d_flat, jnp.ones((pad, 3), d_flat.dtype)])
-    d_tiles = d_flat.reshape(n_tiles, 8, 128, 3).transpose(0, 3, 1, 2)
+    rays6 = tuple(
+        [tile_layout(origin[c], 0.0) for c in range(3)]
+        + [tile_layout(direction[c], 1.0) for c in range(3)]
+    )
 
     mesh_idx, _, _, _ = _instance_tables(scene)
     ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
     inv = scene.instances.inverse_transform.reshape(-1, 16)
 
     t, u, v, tri_slot, inst = _trace_tiles(
-        o_tiles,
-        d_tiles,
+        rays6,
         inv,
         clusters.super_aabb,
         clusters.cluster_aabb,
@@ -276,8 +284,7 @@ def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
     )
 
     def untile(x: Array) -> Array:
-        flat = x.transpose(0, 1, 2).reshape(-1)[:n]
-        return flat.reshape(shape)
+        return x.reshape(-1)[:n].reshape(shape)
 
     t = untile(t)
     u = untile(u)

@@ -115,11 +115,13 @@ def _object_space_ray(scene: Scene, inst: int, origin: Array, direction: Array):
 
 def trace_brute(
     scene: Scene,
-    origin: Array,  # [..., 3]
-    direction: Array,  # [..., 3]
+    origin: Array,  # [3, ...] planar
+    direction: Array,  # [3, ...] planar
     chunk: int = 2048,
 ) -> SceneHit:
     """All rays x all triangles per instance, chunked over triangles."""
+    origin = jnp.moveaxis(origin, 0, -1)
+    direction = jnp.moveaxis(direction, 0, -1)
     shape = origin.shape[:-1]
     best = _empty_hit(shape, origin, direction)
     _, starts, counts, _ = _instance_tables(scene)
@@ -263,10 +265,11 @@ def _traverse_one(
 
 
 def trace_bvh(scene: Scene, origin: Array, direction: Array) -> SceneHit:
-    """BVH traversal over all instances (vmapped per-ray while loops)."""
-    shape = origin.shape[:-1]
-    flat_o = origin.reshape(-1, 3)
-    flat_d = direction.reshape(-1, 3)
+    """BVH traversal over all instances (vmapped per-ray while loops).
+    ``origin``/``direction``: planar [3, ...]."""
+    shape = origin.shape[1:]
+    flat_o = jnp.moveaxis(origin, 0, -1).reshape(-1, 3)
+    flat_d = jnp.moveaxis(direction, 0, -1).reshape(-1, 3)
     best = _empty_hit((flat_o.shape[0],), flat_o, flat_d)
 
     _, _, _, roots = _instance_tables(scene)

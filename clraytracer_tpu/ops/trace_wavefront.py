@@ -176,10 +176,11 @@ def _scatter_push(stack: Array, sp: Array, value: Array, mask: Array) -> Array:
 
 
 def trace_wavefront(scene: Scene, origin: Array, direction: Array) -> SceneHit:
-    """Batched BVH trace over all instances; drop-in Tracer."""
-    shape = origin.shape[:-1]
-    flat_o = origin.reshape(-1, 3)
-    flat_d = direction.reshape(-1, 3)
+    """Batched BVH trace over all instances; drop-in Tracer.
+    ``origin``/``direction``: planar [3, ...]."""
+    shape = origin.shape[1:]
+    flat_o = jnp.moveaxis(origin, 0, -1).reshape(-1, 3)
+    flat_d = jnp.moveaxis(direction, 0, -1).reshape(-1, 3)
     best = _empty_hit((flat_o.shape[0],), flat_o, flat_d)
 
     _, _, _, roots = _instance_tables(scene)

@@ -28,7 +28,6 @@ from clraytracer_tpu.ops import gather, planar
 from clraytracer_tpu.ops.shade import (
     _modulate_bytes,
     _shading_tables,
-    _transform_rays,
     sample_pool_planar,
 )
 from clraytracer_tpu.ops.trace_ref import trace_bvh
@@ -60,15 +59,13 @@ def raycast(
     """Closest-hit raycast with full shading-attribute reconstruction
     (CPURayTrace.cpp:186-249). Works for any batch shape, including a
     single ray."""
-    hit = tracer(scene, origin, direction)
+    o_p = planar.from_last(origin)
+    d_p = planar.from_last(direction)
+    hit = tracer(scene, o_p, d_p)
     tables = _shading_tables(scene, prefer_packed=scene.packed is not None)
 
     attr = gather.take_rows(tables.tri_attr, hit.tri)  # [16, ...]
     inst = gather.take_rows(tables.inst_rows, hit.instance)  # [17, ...]
-
-    o_p = planar.from_last(origin)
-    d_p = planar.from_last(direction)
-    _, mesh_dir = _transform_rays(inst, o_p, d_p)
 
     w0 = 1.0 - hit.u - hit.v
     n_obj = jnp.stack(

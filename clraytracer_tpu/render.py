@@ -32,7 +32,9 @@ from clraytracer_tpu.ops.trace_pallas import trace_pallas
 from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
 from clraytracer_tpu.scene.types import Scene
 
-#: A tracer maps (scene, origins [..., 3], directions [..., 3]) → SceneHit.
+#: A tracer maps (scene, origins [3, ...], directions [3, ...]) → SceneHit
+#: with [...]-shaped hit fields. Rays are PLANAR (channel-major) — for the
+#: Pallas path the ray-tile layout is then a pure reshape, no relayout.
 Tracer = Callable[[Scene, Array, Array], SceneHit]
 
 TRACERS: dict[str, Tracer] = {
@@ -79,14 +81,9 @@ def trace_planar(
     """N-bounce trace + shade over planar rays; returns [3, *spatial]
     radiance. Shading reconstructs the object-space ray of the winning
     instance itself from its instance gather (ops/shade.py)."""
-    spatial = origin.shape[1:]
     state = initial_bounce_state(origin, direction, sun_angle)
     for _ in range(bounces):
-        hit = tracer(
-            scene,
-            planar.to_last(state.origin, spatial),
-            planar.to_last(state.direction, spatial),
-        )
+        hit = tracer(scene, state.origin, state.direction)
         state = shade_hits(
             scene,
             state,

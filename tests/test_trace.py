@@ -49,14 +49,17 @@ def test_aabb_reference_semantics():
 
 def _camera_rays(w, h, position=(0.13, 0.21, 10.0), yaw=-90.0):
     # slightly off-axis camera: an exactly centred view sends many rays
-    # through shared triangle edges (measure-zero ties)
+    # through shared triangle edges (measure-zero ties).
+    # Returns PLANAR [3, h, w] rays (the Tracer protocol).
     cam = Camera.create(
         CameraConfig(position=position, yaw_deg=yaw), w, h
     )
-    dirs = ray_directions(
+    from clraytracer_tpu.camera import ray_directions_planar
+
+    dirs = ray_directions_planar(
         jnp.asarray(cam.inverse_view), jnp.asarray(cam.inverse_projection), w, h
     )
-    o = jnp.broadcast_to(jnp.asarray(cam.position), dirs.shape)
+    o = jnp.broadcast_to(jnp.asarray(cam.position)[:, None, None], dirs.shape)
     return cam, o, dirs
 
 
