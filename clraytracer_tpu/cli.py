@@ -101,7 +101,14 @@ def cmd_render(args) -> int:
         enable_post=not args.no_post,
     )
     t0 = time.perf_counter()
-    img = render(scene, cam, cfg, tracer_name=args.tracer)
+    if getattr(args, "profile_dir", None):
+        # device-level tracing (the analogue of the reference's frame-time
+        # profiler panel, Engine.cpp:41-50, but per-op via XLA)
+        with jax.profiler.trace(args.profile_dir):
+            img = render(scene, cam, cfg, tracer_name=args.tracer)
+        log_info("profiler trace written to %s", args.profile_dir)
+    else:
+        img = render(scene, cam, cfg, tracer_name=args.tracer)
     log_info("rendered %dx%d in %.1f ms (incl. compile)",
              args.width, args.height, (time.perf_counter() - t0) * 1e3)
     save_png(args.output, img)
@@ -184,6 +191,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-o", "--output", default="render.png")
     p.add_argument("--fxaa", action="store_true")
     p.add_argument("--no-post", action="store_true")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace (TensorBoard format) here")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("bench", help="throughput benchmark")

@@ -42,6 +42,13 @@ class ClusterTables:
     tri_a: np.ndarray  # [C, 128] f32
     tri_b: np.ndarray  # [C, 128] f32
     tri_c: np.ndarray  # [C, 128] f32
+    #: shading attributes, same packing (4 components x 32 lanes), f32 cast
+    #: from the canonical f16 attrs so in-kernel interpolation is
+    #: bit-identical to the XLA gather path:
+    at_a: np.ndarray  # [C, 128]: n0x|n0y|n0z|n1x
+    at_b: np.ndarray  # [C, 128]: n1y|n1z|n2x|n2y
+    at_c: np.ndarray  # [C, 128]: n2z|uv0u|uv0v|uv1u
+    at_d: np.ndarray  # [C, 128]: uv1v|uv2u|uv2v|mat_local
     tri_gid: np.ndarray  # [C * CLUSTER_SIZE] i32 global arena tri index
     cluster_min: np.ndarray  # [C, 3] f32 (padded to [C, 8] on device)
     cluster_max: np.ndarray  # [C, 3] f32
@@ -58,9 +65,13 @@ def build_clusters(
     v2: np.ndarray,
     mesh_tri_start: tuple[int, ...],
     mesh_tri_count: tuple[int, ...],
+    attrs: np.ndarray | None = None,  # [T, 16] f32 (shade.ShadingTables layout)
 ) -> ClusterTables:
     """Build per-mesh cluster/supercluster tables from BVH-ordered triangles."""
+    if attrs is None:
+        attrs = np.zeros((v0.shape[0], 16), np.float32)
     tri_rows: list[np.ndarray] = []
+    at_rows: list[tuple[np.ndarray, ...]] = []
     gids: list[np.ndarray] = []
     cmins: list[np.ndarray] = []
     cmaxs: list[np.ndarray] = []
@@ -94,6 +105,18 @@ def build_clusters(
         )
         tc = np.concatenate(
             [comp(e2, 2)] + [np.zeros_like(comp(e2, 2))] * 3, axis=1
+        )
+
+        mat_ = np.zeros((padded, 16), np.float32)
+        mat_[:count] = attrs[start : start + count]
+        acomp = lambda j: mat_[:, j].reshape(n_clusters, CLUSTER_SIZE)
+        at_rows.append(
+            (
+                np.concatenate([acomp(0), acomp(1), acomp(2), acomp(3)], axis=1),
+                np.concatenate([acomp(4), acomp(5), acomp(6), acomp(7)], axis=1),
+                np.concatenate([acomp(8), acomp(9), acomp(10), acomp(11)], axis=1),
+                np.concatenate([acomp(12), acomp(13), acomp(14), acomp(15)], axis=1),
+            )
         )
 
         # cluster AABBs over real (non-padding) triangles
@@ -132,6 +155,10 @@ def build_clusters(
         tri_a=np.concatenate([r[0] for r in tri_rows], axis=0),
         tri_b=np.concatenate([r[1] for r in tri_rows], axis=0),
         tri_c=np.concatenate([r[2] for r in tri_rows], axis=0),
+        at_a=np.concatenate([r[0] for r in at_rows], axis=0),
+        at_b=np.concatenate([r[1] for r in at_rows], axis=0),
+        at_c=np.concatenate([r[2] for r in at_rows], axis=0),
+        at_d=np.concatenate([r[3] for r in at_rows], axis=0),
         tri_gid=np.concatenate(gids),
         cluster_min=np.concatenate(cmins, axis=0),
         cluster_max=np.concatenate(cmaxs, axis=0),

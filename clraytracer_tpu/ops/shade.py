@@ -150,6 +150,34 @@ def _wrap_scale(u: Array, w) -> Array:
     return (uw * w).astype(jnp.int32)
 
 
+def _as_i32(x) -> Array | int:
+    return int(x) if isinstance(x, (int, float)) else x.astype(jnp.int32)
+
+
+def _as_f32(x) -> Array | float:
+    return float(x) if isinstance(x, (int, float)) else x.astype(jnp.float32)
+
+
+def _pool_index(w, h, off, u: Array, v: Array) -> Array:
+    """Flat texel index of a UV point sample. ``w/h/off`` may be per-ray
+    arrays (gathered records) or static ints (skybox/constant textures)."""
+    us = _wrap_scale(u, _as_f32(w))
+    vs = _wrap_scale(v, _as_f32(h))
+    return vs * _as_i32(w) + us + _as_i32(off)
+
+
+def _skybox_index(w, h, off, d: Array) -> Array:
+    """Flat texel index of an equirect skybox sample for planar directions
+    (MathAndSTL.cl:253-258)."""
+    theta = (
+        jnp.arctan2(d[0], -d[2]) / jnp.pi * (0.5 * _as_f32(w))
+    ).astype(jnp.int32)
+    phi = (
+        jnp.arccos(jnp.clip(d[1], -1.0, 1.0)) / jnp.pi * _as_f32(h)
+    ).astype(jnp.int32)
+    return phi * _as_i32(w) + theta + _as_i32(off)
+
+
 def sample_pool_planar(
     atlas: TextureAtlas, w: Array | int, h: Array | int, off: Array | int,
     u: Array, v: Array,
@@ -159,16 +187,7 @@ def sample_pool_planar(
     ``w/h/off`` may be per-ray arrays (gathered records) or static ints
     (skybox). One row gather of the [P, 3] pool.
     """
-    if not isinstance(w, (int, float)):
-        w = w.astype(jnp.float32)
-        h = h.astype(jnp.float32)
-    us = _wrap_scale(u, w)
-    vs = _wrap_scale(v, h)
-    wi = w.astype(jnp.int32) if isinstance(w, Array) else int(w)
-    flat = vs * wi + us + (
-        off.astype(jnp.int32) if isinstance(off, Array) else int(off)
-    )
-    return gather.take_rows(atlas.texels, flat)
+    return gather.take_rows(atlas.texels, _pool_index(w, h, off, u, v))
 
 
 def sample_skybox_static(
@@ -176,11 +195,7 @@ def sample_skybox_static(
 ) -> Array:
     """Equirect skybox sample with a static texture record → [3, *spatial]
     (MathAndSTL.cl:253-258)."""
-    theta = (jnp.arctan2(d[0], -d[2]) / jnp.pi * (0.5 * w)).astype(jnp.int32)
-    phi = (
-        jnp.arccos(jnp.clip(d[1], -1.0, 1.0)) / jnp.pi * float(h)
-    ).astype(jnp.int32)
-    return gather.take_rows(atlas.texels, phi * w + theta + off)
+    return gather.take_rows(atlas.texels, _skybox_index(w, h, off, d))
 
 
 def sample_skybox_planar(atlas: TextureAtlas, tex_idx: Array, d: Array) -> Array:
@@ -188,13 +203,7 @@ def sample_skybox_planar(atlas: TextureAtlas, tex_idx: Array, d: Array) -> Array
     w = jnp.take(atlas.width, tex_idx, mode="clip")
     h = jnp.take(atlas.height, tex_idx, mode="clip")
     off = jnp.take(atlas.offset, tex_idx, mode="clip")
-    wf = w.astype(jnp.float32)
-    hf = h.astype(jnp.float32)
-    theta = (jnp.arctan2(d[0], -d[2]) / jnp.pi * 0.5 * wf).astype(jnp.int32)
-    phi = (
-        jnp.arccos(jnp.clip(d[1], -1.0, 1.0)) / jnp.pi * hf
-    ).astype(jnp.int32)
-    return gather.take_rows(atlas.texels, phi * w + theta + off)
+    return gather.take_rows(atlas.texels, _skybox_index(w, h, off, d))
 
 
 # interleaved-API wrappers (tests, tooling)
@@ -331,6 +340,7 @@ def shade_hits(
     hit: Array,  # [*S] bool
     reference_parity: bool = True,
     integer_colors: bool = True,
+    attrs: tuple[Array, Array, Array, Array] | None = None,
 ) -> BounceState:
     """Apply one bounce of shading + update throughput (planar).
 
@@ -341,37 +351,41 @@ def shade_hits(
     modulate (non-differentiable) vs the float path used for gradients —
     the float path also builds its gather tables in-jit from the canonical
     (differentiable) scene leaves.
+
+    ``attrs``: optional pre-interpolated (object-space normal [3, *S], uu,
+    vv, mat_local) from the Pallas tracer's in-VMEM interpolation — skips
+    the per-ray triangle-attribute gather entirely.
     """
     atlas = scene.atlas
     fast = integer_colors and scene.packed is not None
     tables = _shading_tables(scene, prefer_packed=fast)
 
-    # ---- miss: skybox -----------------------------------------------------
+    # ---- skybox index (miss lanes; kernel_main.cl:219-224) ----------------
     if fast:
         pk = scene.packed
-        sky = sample_skybox_static(
-            atlas, pk.skybox_w, pk.skybox_h, pk.skybox_off, state.direction
-        )
+        skw, skh, skoff = pk.skybox_w, pk.skybox_h, pk.skybox_off  # static
     else:
-        sky = sample_skybox_planar(
-            atlas, jnp.full(t.shape, scene.skybox_tex, jnp.int32),
-            state.direction,
-        )
-    miss_now = state.alive & ~hit
-    result = planar.where(
-        miss_now, state.result + sky * state.energy, state.result
-    )
+        kb = scene.skybox_tex  # static index → cheap slices
+        skw, skh, skoff = atlas.width[kb], atlas.height[kb], atlas.offset[kb]
+    sky_idx = _skybox_index(skw, skh, skoff, state.direction)
 
+    miss_now = state.alive & ~hit
     live = state.alive & hit
 
-    # ---- the three table fetches -----------------------------------------
+    # ---- table fetches ------------------------------------------------------
     # fast: one-hot MXU gathers (~0.1 ms); diff: row gathers — same values,
     # but exact (scatter-add) gradients instead of bf16-rounded matmul VJPs
     small_rows = gather.onehot_rows if fast else gather.take_rows
-    attr = gather.take_rows(tables.tri_attr, tri_idx)  # [16, *S]
+    use_kernel_attrs = attrs is not None and integer_colors
+    if use_kernel_attrs:
+        attr = None
+        mat_local = attrs[3].astype(jnp.int32)
+    else:
+        attr = gather.take_rows(tables.tri_attr, tri_idx)  # [16, *S]
+        mat_local = attr[15].astype(jnp.int32)
     inst = small_rows(tables.inst_rows, instance_idx)  # [17, *S]
     mat_start = inst[16].astype(jnp.int32)
-    mat_id = mat_start + attr[15].astype(jnp.int32)
+    mat_id = mat_start + mat_local
     mat = small_rows(tables.mat_rows, mat_id)  # [16, *S]
 
     alb_rgb = mat[0:3]
@@ -392,15 +406,22 @@ def shade_hits(
     )
 
     # ---- attribute interpolation -----------------------------------------
-    w0 = 1.0 - u - v
-    # lerp in object space, then one transform by the inverse 3x3 (the two
-    # commute — the map is linear; one transform is 2x fewer FMAs)
-    n_obj = jnp.stack(
-        [
-            attr[c] * w0 + attr[3 + c] * u + attr[6 + c] * v
-            for c in range(3)
-        ]
-    )
+    if use_kernel_attrs:
+        # already interpolated in the Pallas kernel (same expression tree)
+        n_obj = attrs[0]
+        uu, vv = attrs[1], attrs[2]
+    else:
+        w0 = 1.0 - u - v
+        # lerp in object space, then one transform by the inverse 3x3 (the
+        # two commute — the map is linear; one transform is 2x fewer FMAs)
+        n_obj = jnp.stack(
+            [
+                attr[c] * w0 + attr[3 + c] * u + attr[6 + c] * v
+                for c in range(3)
+            ]
+        )
+        uu = attr[9] * w0 + attr[11] * u + attr[13] * v
+        vv = attr[10] * w0 + attr[12] * u + attr[14] * v
     normal = planar.normalize(
         jnp.stack(
             [
@@ -410,12 +431,18 @@ def shade_hits(
             ]
         )
     )
-    uu = attr[9] * w0 + attr[11] * u + attr[13] * v
-    vv = attr[10] * w0 + attr[12] * u + attr[14] * v
 
-    # ---- texture + material color ----------------------------------------
+    # ---- fused texel fetch: albedo for hits, skybox for misses ------------
+    # The two samples read the same pool and are consumed on mutually
+    # exclusive lanes, so ONE row gather serves both (a pool gather is
+    # ~5-9 ms at 1080p — this halves the per-bounce texel cost).
     aw, ah, aoff = rec(8)
-    texel = sample_pool_planar(atlas, aw, ah, aoff, uu, vv)
+    alb_idx = _pool_index(aw, ah, aoff, uu, vv)
+    texel = gather.take_rows(atlas.texels, jnp.where(hit, alb_idx, sky_idx))
+    sky = texel  # valid on miss lanes only (masked below)
+    result = planar.where(
+        miss_now, state.result + sky * state.energy, state.result
+    )
     if integer_colors:
         color = _modulate_bytes(texel, alb_rgb)
     else:

@@ -1,9 +1,10 @@
 """Pallas tile tracer: the TPU-native traversal megakernel.
 
 Design (TPU-first replacement for per-thread stack traversal,
-kernel_main.cl:124-160): the pixel grid is cut into **tiles of 1024 rays**
-(one [8, 128] vreg per component); per tile the kernel runs three phases per
-mesh instance, each a dense vector computation:
+kernel_main.cl:124-160): the pixel grid is cut into **tiles of ROWS*128
+rays** ([ROWS, 128] vector registers per component — large tiles amortize
+the kernel's scalar-unit work over more rays); per tile the kernel runs
+three phases per mesh instance, each a dense vector computation:
 
   A. Supercluster culling — exact per-ray slab tests against each
      supercluster AABB (32 clusters each); surviving supercluster indices are
@@ -12,7 +13,9 @@ mesh instance, each a dense vector computation:
      surviving supercluster (flat loop, traced bound); survivors compacted.
   C. Leaf intersection — for each surviving cluster, a statically unrolled
      batch of 32 Möller-Trumbore tests (triangle scalars at static column
-     offsets), merged into per-ray best (t, u, v, tri, instance).
+     offsets), merged into per-ray best (t, u, v, tri, instance) — plus
+     inline interpolation of the shading attributes (normal/uv/material)
+     under the same accept mask, so shading needs no triangle gather at all.
 
 No per-lane gathers, no stacks, no divergence: data-dependent work is skipped
 at *tile* granularity via compacted index lists, which is exactly the control
@@ -47,15 +50,31 @@ from clraytracer_tpu.ops.clusters import CLUSTER_SIZE, SUPER_SIZE
 from clraytracer_tpu.ops.trace_ref import SceneHit, _instance_tables
 from clraytracer_tpu.scene.types import MISS_DISTANCE, Scene
 
-TILE = 1024  # rays per tile: [8, 128]
+MAX_ROWS = 64  # sublane rows per tile: [64, 128] tiles measured fastest at
+# 1080p (38.6 ms/frame vs 41.9 @ 32 rows, 43.1 @ 128, 68 @ 8) — bigger tiles
+# amortize the kernel's scalar-unit work (25 scalar loads per tested
+# triangle, any-reduces, serial counter chains) over more rays, until the
+# working set outgrows VMEM headroom
+TILE = MAX_ROWS * 128
 _BIG = np.float32(MISS_DISTANCE)
 
 
-def _make_kernel(instance_ranges: tuple[tuple[int, int, int, int], ...]):
+def _tile_rows(n_rays: int) -> int:
+    """Sublane rows per tile: MAX_ROWS for real frames, shrunk (multiple of
+    8) for small renders/tests so one tile isn't mostly padding."""
+    rows = -(-n_rays // 128)  # ceil
+    rows = -(-rows // 8) * 8  # round up to a whole vreg
+    return max(8, min(MAX_ROWS, rows))
+
+
+def _make_kernel(
+    instance_ranges: tuple[tuple[int, int, int, int], ...], rows: int
+):
     """Builds the kernel body for a static per-instance range list
     (supercluster start/count, cluster start/count per instance)."""
 
     n_instances = len(instance_ranges)
+    ROWS = rows
 
     def kernel(
         ox_ref,  # [8, 128] tile ray origin x (world)
@@ -70,22 +89,33 @@ def _make_kernel(instance_ranges: tuple[tuple[int, int, int, int], ...]):
         ta_ref,  # [C, 128] v0x|v0y|v0z|e1x (32 lanes each)
         tb_ref,  # [C, 128] e1y|e1z|e2x|e2y
         tc_ref,  # [C, 128] e2z|pad
+        aa_ref,  # [C, 128] n0x|n0y|n0z|n1x (shading attrs)
+        ab_ref,  # [C, 128] n1y|n1z|n2x|n2y
+        ac_ref,  # [C, 128] n2z|uv0u|uv0v|uv1u
+        ad_ref,  # [C, 128] uv1v|uv2u|uv2v|mat_local
         out_t,  # [8, 128]
-        out_u,
+        out_u,  # [8, 128] barycentrics (diff recompute / picking consumers)
         out_v,
         out_tri,  # [8, 128] i32 (padded-table triangle slot c*32+k)
         out_inst,  # [8, 128] i32
+        out_nx,  # [8, 128] interpolated object-space normal (unnormalized)
+        out_ny,
+        out_nz,
+        out_uu,  # [8, 128] interpolated uv
+        out_vv,
+        out_mat,  # [8, 128] f32 mesh-local material index
         sc_scratch,  # SMEM [S_total] i32
         cl_scratch,  # SMEM [C_total] i32
     ):
         ox_w, oy_w, oz_w = ox_ref[...], oy_ref[...], oz_ref[...]
         dx_w, dy_w, dz_w = dx_ref[...], dy_ref[...], dz_ref[...]
 
-        best_t = jnp.full((8, 128), _BIG, jnp.float32)
-        best_u = jnp.zeros((8, 128), jnp.float32)
-        best_v = jnp.zeros((8, 128), jnp.float32)
-        best_tri = jnp.zeros((8, 128), jnp.int32)
-        best_inst = jnp.zeros((8, 128), jnp.int32)
+        best_t = jnp.full((ROWS, 128), _BIG, jnp.float32)
+        best_tri = jnp.zeros((ROWS, 128), jnp.int32)
+        best_inst = jnp.zeros((ROWS, 128), jnp.int32)
+        zeros = jnp.zeros((ROWS, 128), jnp.float32)
+        # u, v, nx, ny, nz, uu, vv, mat
+        best_attr = (zeros,) * 8
 
         for inst in range(n_instances):
             sc0, sc_n, cl0, cl_n = instance_ranges[inst]
@@ -142,8 +172,12 @@ def _make_kernel(instance_ranges: tuple[tuple[int, int, int, int], ...]):
             nb = jax.lax.fori_loop(0, na * SUPER_SIZE, phase_b, jnp.int32(0))
 
             # ---- phase C: dense leaf batches (flat, traced bound) ---------
+            # Shading attributes are interpolated inline under the same
+            # accept mask — the triangle's attrs are in VMEM at static
+            # columns, so this replaces a ~5 ms/bounce XLA attribute gather
+            # with a few extra scalar loads + FMAs per tested triangle.
             def phase_c(j, carry):
-                bt, bu, bv, btri, binst = carry
+                bt, btri, binst, battr = carry
                 c = cl_scratch[j]
                 for k in range(CLUSTER_SIZE):
                     v0x = ta_ref[c, k]
@@ -178,69 +212,116 @@ def _make_kernel(instance_ranges: tuple[tuple[int, int, int, int], ...]):
                         & (u + v <= 1.0)
                     )
                     bt = jnp.where(ok, t, bt)
-                    bu = jnp.where(ok, u, bu)
-                    bv = jnp.where(ok, v, bv)
                     slot = c * CLUSTER_SIZE + k
                     btri = jnp.where(ok, slot, btri)
                     binst = jnp.where(ok, jnp.int32(inst), binst)
-                return bt, bu, bv, btri, binst
+                    # attribute interpolation (same expression tree as the
+                    # XLA path in shade_hits → bit-identical): w0*a0+u*a1+v*a2
+                    w0 = 1.0 - u - v
+                    n0x = aa_ref[c, k]
+                    n0y = aa_ref[c, 32 + k]
+                    n0z = aa_ref[c, 64 + k]
+                    n1x = aa_ref[c, 96 + k]
+                    n1y = ab_ref[c, k]
+                    n1z = ab_ref[c, 32 + k]
+                    n2x = ab_ref[c, 64 + k]
+                    n2y = ab_ref[c, 96 + k]
+                    n2z = ac_ref[c, k]
+                    uv0u = ac_ref[c, 32 + k]
+                    uv0v = ac_ref[c, 64 + k]
+                    uv1u = ac_ref[c, 96 + k]
+                    uv1v = ad_ref[c, k]
+                    uv2u = ad_ref[c, 32 + k]
+                    uv2v = ad_ref[c, 64 + k]
+                    matl = ad_ref[c, 96 + k]
+                    bu, bv, nx, ny, nz, uu, vv, mat = battr
+                    battr = (
+                        jnp.where(ok, u, bu),
+                        jnp.where(ok, v, bv),
+                        jnp.where(ok, n0x * w0 + n1x * u + n2x * v, nx),
+                        jnp.where(ok, n0y * w0 + n1y * u + n2y * v, ny),
+                        jnp.where(ok, n0z * w0 + n1z * u + n2z * v, nz),
+                        jnp.where(ok, uv0u * w0 + uv1u * u + uv2u * v, uu),
+                        jnp.where(ok, uv0v * w0 + uv1v * u + uv2v * v, vv),
+                        jnp.where(ok, matl, mat),
+                    )
+                return bt, btri, binst, battr
 
-            best_t, best_u, best_v, best_tri, best_inst = jax.lax.fori_loop(
-                0, nb, phase_c, (best_t, best_u, best_v, best_tri, best_inst)
+            best_t, best_tri, best_inst, best_attr = jax.lax.fori_loop(
+                0, nb, phase_c, (best_t, best_tri, best_inst, best_attr)
             )
 
         out_t[:] = best_t
-        out_u[:] = best_u
-        out_v[:] = best_v
+        out_u[:] = best_attr[0]
+        out_v[:] = best_attr[1]
         out_tri[:] = best_tri
         out_inst[:] = best_inst
+        out_nx[:] = best_attr[2]
+        out_ny[:] = best_attr[3]
+        out_nz[:] = best_attr[4]
+        out_uu[:] = best_attr[5]
+        out_vv[:] = best_attr[6]
+        out_mat[:] = best_attr[7]
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("instance_ranges",))
+@functools.partial(jax.jit, static_argnames=("instance_ranges", "rows"))
 def _trace_tiles(
-    rays6: tuple[Array, ...],  # 6 x [T, 8, 128]: ox oy oz dx dy dz
+    rays6: tuple[Array, ...],  # 6 x [T, ROWS, 128]: ox oy oz dx dy dz
     inv: Array,  # [I, 16]
     scab: Array,  # [S, 8]
     clab: Array,  # [C, 8]
     tri_a: Array,  # [C, 128]
     tri_b: Array,  # [C, 128]
     tri_c: Array,  # [C, 128]
+    at_a: Array,  # [C, 128] shading attrs
+    at_b: Array,
+    at_c: Array,
+    at_d: Array,
     instance_ranges: tuple[tuple[int, int, int, int], ...],
+    rows: int = MAX_ROWS,
 ):
     n_tiles = rays6[0].shape[0]
-    kernel = _make_kernel(instance_ranges)
+    ROWS = rows
+    kernel = _make_kernel(instance_ranges, rows)
     # tests and the golden path run on CPU: interpret the kernel there
     interpret = jax.default_backend() != "tpu"
-    # each ray component arrives as its own [T, 8, 128] array — a pure
+    # each ray component arrives as its own [T, ROWS, 128] array — a pure
     # reshape of a planar [N] row, and a simple dense block per tile.
     # (A combined [3, T, 8, 128] input with block (3, None, 8, 128) made
     # Mosaic's pipelining pathological: single-kernel compiles took 490 s.)
     tile_spec = pl.BlockSpec(
-        (None, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (None, ROWS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((None, 8, 128), lambda i: (i, 0, 0))
+    out_spec = pl.BlockSpec((None, ROWS, 128), lambda i: (i, 0, 0))
     f32 = jnp.float32
+    shp = lambda dt: jax.ShapeDtypeStruct((n_tiles, ROWS, 128), dt)
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), f32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), f32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), f32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles, 8, 128), jnp.int32),
+            shp(f32),  # t
+            shp(f32),  # u
+            shp(f32),  # v
+            shp(jnp.int32),  # tri slot
+            shp(jnp.int32),  # inst
+            shp(f32),  # nx
+            shp(f32),  # ny
+            shp(f32),  # nz
+            shp(f32),  # uu
+            shp(f32),  # vv
+            shp(f32),  # mat_local
         ),
-        in_specs=[tile_spec] * 6 + [full] * 6,
-        out_specs=(out_spec, out_spec, out_spec, out_spec, out_spec),
+        in_specs=[tile_spec] * 6 + [full] * 10,
+        out_specs=(out_spec,) * 11,
         scratch_shapes=[
             pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
             pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
         ],
         interpret=interpret,
-    )(*rays6, inv, scab, clab, tri_a, tri_b, tri_c)
+    )(*rays6, inv, scab, clab, tri_a, tri_b, tri_c, at_a, at_b, at_c, at_d)
 
 
 def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
@@ -250,18 +331,20 @@ def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
     assert clusters is not None, "scene built without cluster tables"
     shape = origin.shape[1:]
     n = int(np.prod(shape)) if shape else 1
-    n_tiles = -(-n // TILE)
-    pad = n_tiles * TILE - n
+    ROWS = _tile_rows(n)
+    tile = ROWS * 128
+    n_tiles = -(-n // tile)
+    pad = n_tiles * tile - n
 
     def tile_layout(x: Array, pad_value: float) -> Array:
-        """One planar component [N] → [T, 8, 128] (pure reshape + pad)."""
+        """One planar component [N] → [T, ROWS, 128] (pure reshape + pad)."""
         flat = x.reshape(-1)
         if pad:
             # non-zero pad for directions so 1/d stays finite in pad lanes
             flat = jnp.concatenate(
                 [flat, jnp.full((pad,), pad_value, flat.dtype)]
             )
-        return flat.reshape(n_tiles, 8, 128)
+        return flat.reshape(n_tiles, ROWS, 128)
 
     rays6 = tuple(
         [tile_layout(origin[c], 0.0) for c in range(3)]
@@ -272,7 +355,7 @@ def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
     ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
     inv = scene.instances.inverse_transform.reshape(-1, 16)
 
-    t, u, v, tri_slot, inst = _trace_tiles(
+    t, u, v, tri_slot, inst, nx, ny, nz, uu, vv, matl = _trace_tiles(
         rays6,
         inv,
         clusters.super_aabb,
@@ -280,15 +363,18 @@ def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
         clusters.tri_a,
         clusters.tri_b,
         clusters.tri_c,
+        clusters.at_a,
+        clusters.at_b,
+        clusters.at_c,
+        clusters.at_d,
         ranges,
+        rows=ROWS,
     )
 
     def untile(x: Array) -> Array:
         return x.reshape(-1)[:n].reshape(shape)
 
     t = untile(t)
-    u = untile(u)
-    v = untile(v)
     tri_slot = untile(tri_slot)
     inst = untile(inst)
     hit = t < _BIG
@@ -301,9 +387,13 @@ def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
     # ~60 ms/bounce of pure waste at 1080p.
     return SceneHit(
         t=jnp.where(hit, t, MISS_DISTANCE),
-        u=u,
-        v=v,
+        u=untile(u),
+        v=untile(v),
         tri=tri,
         instance=inst,
         hit=hit,
+        attr_normal=jnp.stack([untile(nx), untile(ny), untile(nz)]),
+        attr_uu=untile(uu),
+        attr_vv=untile(vv),
+        attr_mat=untile(matl),
     )

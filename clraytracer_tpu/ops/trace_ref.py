@@ -54,6 +54,14 @@ class SceneHit(NamedTuple):
     hit: Array  # [...] bool
     mesh_origin: Array | None = None  # [..., 3]
     mesh_direction: Array | None = None  # [..., 3]
+    #: Pre-interpolated shading attributes (Pallas tracer only — the
+    #: triangle data is already in VMEM there, so interpolating in-kernel
+    #: replaces a ~5 ms per-ray attribute gather). Object-space normal,
+    #: wrapped later by the instance inverse in shading.
+    attr_normal: Array | None = None  # [3, ...] object-space, unnormalized
+    attr_uu: Array | None = None  # [...]
+    attr_vv: Array | None = None  # [...]
+    attr_mat: Array | None = None  # [...] f32 mesh-local material index
 
 
 def _instance_tables(scene: Scene) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -291,4 +299,6 @@ def trace_bvh(scene: Scene, origin: Array, direction: Array) -> SceneHit:
         )
         best = _merge(best, cand)
 
-    return SceneHit(*(x.reshape(shape + x.shape[1:]) for x in best))
+    return SceneHit(
+        *(x.reshape(shape + x.shape[1:]) if x is not None else None for x in best)
+    )

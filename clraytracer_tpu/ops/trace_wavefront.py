@@ -202,4 +202,6 @@ def trace_wavefront(scene: Scene, origin: Array, direction: Array) -> SceneHit:
         )
         best = _merge(best, cand)
 
-    return SceneHit(*(x.reshape(shape + x.shape[1:]) for x in best))
+    return SceneHit(
+        *(x.reshape(shape + x.shape[1:]) if x is not None else None for x in best)
+    )

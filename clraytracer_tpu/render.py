@@ -84,6 +84,9 @@ def trace_planar(
     state = initial_bounce_state(origin, direction, sun_angle)
     for _ in range(bounces):
         hit = tracer(scene, state.origin, state.direction)
+        attrs = None
+        if hit.attr_normal is not None:
+            attrs = (hit.attr_normal, hit.attr_uu, hit.attr_vv, hit.attr_mat)
         state = shade_hits(
             scene,
             state,
@@ -95,6 +98,7 @@ def trace_planar(
             hit=hit.hit,
             reference_parity=reference_parity,
             integer_colors=integer_colors,
+            attrs=attrs,
         )
     return state.result
 

@@ -316,10 +316,30 @@ class SceneBuilder:
             specular_u32=jnp.asarray(math3d.pack_rgb_u32(specular), jnp.uint32),
         )
 
+        skybox = 2 if self.atlas.num_textures > 2 else WHITE_TEXTURE
+        instances = self.instance_arrays()
+        h_tri_attr = np.concatenate(
+            [
+                np.asarray(h_n[0], np.float32),
+                np.asarray(h_n[1], np.float32),
+                np.asarray(h_n[2], np.float32),
+                np.asarray(h_uv[0], np.float32),
+                np.asarray(h_uv[1], np.float32),
+                np.asarray(h_uv[2], np.float32),
+                np.asarray(h_mat_idx, np.float32)[:, None],
+            ],
+            axis=1,
+        )
+        packed = self._packed_tables(
+            h_tri_attr, albedo, specular, width, height, offset, skybox
+        )
+
         # cluster tables for the Pallas tile tracer (built from the
-        # BVH-reordered, spatially coherent triangle order)
+        # BVH-reordered, spatially coherent triangle order); shading attrs
+        # packed alongside so the kernel interpolates them in-VMEM
         ct = build_clusters(
-            hv0, hv1, hv2, bvh.mesh_tri_start, bvh.mesh_tri_count
+            hv0, hv1, hv2, bvh.mesh_tri_start, bvh.mesh_tri_count,
+            attrs=h_tri_attr,
         )
         pad8 = lambda mn, mx: np.concatenate(
             [mn, mx, np.zeros((mn.shape[0], 2), np.float32)], axis=1
@@ -328,16 +348,14 @@ class SceneBuilder:
             tri_a=jnp.asarray(ct.tri_a),
             tri_b=jnp.asarray(ct.tri_b),
             tri_c=jnp.asarray(ct.tri_c),
+            at_a=jnp.asarray(ct.at_a),
+            at_b=jnp.asarray(ct.at_b),
+            at_c=jnp.asarray(ct.at_c),
+            at_d=jnp.asarray(ct.at_d),
             tri_gid=jnp.asarray(ct.tri_gid),
             cluster_aabb=jnp.asarray(pad8(ct.cluster_min, ct.cluster_max)),
             super_aabb=jnp.asarray(pad8(ct.super_min, ct.super_max)),
             mesh_ranges=ct.mesh_ranges,
-        )
-
-        skybox = 2 if self.atlas.num_textures > 2 else WHITE_TEXTURE
-        instances = self.instance_arrays()
-        packed = self._packed_tables(
-            h_n, h_uv, h_mat_idx, albedo, specular, width, height, offset, skybox
         )
         return Scene(
             clusters=clusters,
@@ -352,9 +370,7 @@ class SceneBuilder:
 
     def _packed_tables(
         self,
-        h_n: list[np.ndarray],
-        h_uv: list[np.ndarray],
-        h_mat_idx: np.ndarray,
+        h_tri_attr: np.ndarray,
         albedo: np.ndarray,
         specular: np.ndarray,
         tex_width: np.ndarray,
@@ -371,15 +387,7 @@ class SceneBuilder:
         tests assert the packed tables equal the in-jit-built ones."""
         from clraytracer_tpu.ops.shade import _OFF_MASK, _OFF_SHIFT
 
-        f32 = lambda a: np.asarray(a, np.float32)
-        tri_attr = np.concatenate(
-            [
-                f32(h_n[0]), f32(h_n[1]), f32(h_n[2]),
-                f32(h_uv[0]), f32(h_uv[1]), f32(h_uv[2]),
-                f32(h_mat_idx)[:, None],
-            ],
-            axis=1,
-        )
+        tri_attr = h_tri_attr
 
         if self._instances:
             inv = np.stack(

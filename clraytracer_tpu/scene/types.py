@@ -159,6 +159,10 @@ class Clusters:
     tri_a: Array  # [C, 128] f32: v0x|v0y|v0z|e1x, 32 lanes each
     tri_b: Array  # [C, 128] f32: e1y|e1z|e2x|e2y
     tri_c: Array  # [C, 128] f32: e2z|pad
+    at_a: Array  # [C, 128] f32: n0x|n0y|n0z|n1x (shading attrs, f32-from-f16)
+    at_b: Array  # [C, 128] f32: n1y|n1z|n2x|n2y
+    at_c: Array  # [C, 128] f32: n2z|uv0u|uv0v|uv1u
+    at_d: Array  # [C, 128] f32: uv1v|uv2u|uv2v|mat_local
     tri_gid: Array  # [C*32] i32: padded slot → global arena triangle index
     cluster_aabb: Array  # [C, 8] f32: min xyz @ 0..2, max xyz @ 3..5
     super_aabb: Array  # [S, 8] f32
