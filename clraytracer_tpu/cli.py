@@ -160,6 +160,79 @@ def cmd_grads(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Scaling sweep: rays/s at 1, 2, 4, ... N devices (BASELINE config 5).
+
+    On a multi-chip TPU slice this measures real ICI scaling; on CPU it runs
+    against the virtual 8-device platform (mechanism check). Efficiency is
+    rays/s(N) / (N * rays/s(1)).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from clraytracer_tpu.config import RenderConfig
+    from clraytracer_tpu.parallel.sharding import (
+        make_device_mesh,
+        render_sharded,
+        replicate_scene,
+    )
+    from clraytracer_tpu.render import frame_inputs_from_camera
+
+    scene_h = build_scene(args.scene, args.tris)
+    cam = _camera(args)
+    frame = frame_inputs_from_camera(cam, args.sun_angle)
+    cfg = RenderConfig(width=args.width, height=args.height,
+                       bounces=args.bounces)
+    devices = jax.devices()
+    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+
+    def time_n(n: int) -> float:
+        mesh = make_device_mesh(devices[:n])
+        scene = replicate_scene(scene_h, mesh)
+
+        # chained dependent frames (honest on the tunneled TPU; see bench.py)
+        def chain(reps):
+            @jax.jit
+            def run(s, f):
+                def body(i, acc):
+                    img = render_sharded(
+                        s, f._replace(sun_angle=f.sun_angle + acc * 1e-20),
+                        cfg, mesh,
+                    )
+                    return (
+                        acc * 0.5 + img[0, 0, 0]
+                        + jnp.sum(img[::31, ::31, 2]) * 1e-6
+                    )
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+            return run
+
+        c1, cn = chain(1), chain(1 + args.iters)
+        float(c1(scene, frame)); float(cn(scene, frame))  # compile + warm
+        t = time.perf_counter(); float(c1(scene, frame))
+        t1 = time.perf_counter() - t
+        t = time.perf_counter(); float(cn(scene, frame))
+        tn = time.perf_counter() - t
+        return max((tn - t1) / args.iters, 1e-9)
+
+    rays = args.width * args.height * args.bounces
+    results = []
+    base = None
+    for n in counts:
+        dt = time_n(n)
+        mrays = rays / dt / 1e6
+        base = mrays if base is None else base
+        results.append(
+            {
+                "devices": n,
+                "mrays_per_s": round(mrays, 2),
+                "efficiency": round(mrays / (n * base), 4),
+            }
+        )
+        print(json.dumps(results[-1]), flush=True)
+    print(json.dumps({"platform": jax.default_backend(), "sweep": results}))
+    return 0
+
+
 def cmd_inspect(args) -> int:
     from clraytracer_tpu.scene.types import scene_summary
 
@@ -206,6 +279,13 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("inspect", help="scene statistics")
     common(p)
     p.set_defaults(fn=cmd_inspect)
+
+    p = sub.add_parser(
+        "sweep", help="multi-device scaling sweep (rays/s vs device count)"
+    )
+    common(p)
+    p.add_argument("--iters", type=int, default=4)
+    p.set_defaults(fn=cmd_sweep)
 
     args = ap.parse_args(argv)
     return args.fn(args)

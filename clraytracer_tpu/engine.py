@@ -49,18 +49,22 @@ class Engine:
 
     def __init__(
         self,
-        builder: SceneBuilder,
-        config: RenderConfig,
+        builder: SceneBuilder | None = None,
+        config: RenderConfig = RenderConfig(),
         camera_config: CameraConfig | None = None,
         tracer: str = "pallas",
+        scene: Scene | None = None,
     ) -> None:
+        """Provide either a ``builder`` (call ``start()`` to build+upload)
+        or an already-built ``scene`` (viewer/tools path)."""
+        assert builder is not None or scene is not None
         self.builder = builder
         self.config = config
         self.tracer = tracer
         self.camera = Camera.create(
             camera_config or CameraConfig(), config.width, config.height
         )
-        self.scene: Scene | None = None
+        self.scene: Scene | None = scene
         self.sun_angle = float(config.sun_angle)
         self.frame_index = 0
         self._end_of_frame: list[Callable[[], None]] = []

@@ -324,11 +324,30 @@ def _trace_tiles(
     )(*rays6, inv, scab, clab, tri_a, tri_b, tri_c, at_a, at_b, at_c, at_d)
 
 
+#: VMEM budget for the resident cluster tables (bytes). A v5e core has
+#: ~16 MiB of VMEM; beyond this the tables cannot stay resident alongside
+#: the ray tiles/outputs and the tracer falls back to the wavefront path.
+#: (~12 MiB of tables ≈ 100k triangles at 115 B/tri.)
+VMEM_TABLE_BUDGET = 12 * 1024 * 1024
+
+
+def _table_bytes(clusters) -> int:
+    c = clusters.tri_a.shape[0]
+    s = clusters.super_aabb.shape[0]
+    return c * (7 * 128 * 4 + 8 * 4) + s * 8 * 4
+
+
 def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
     """Drop-in Tracer backed by the Pallas tile kernel.
     ``origin``/``direction``: planar [3, ...] — tiling is a pure reshape."""
     clusters = scene.clusters
     assert clusters is not None, "scene built without cluster tables"
+    if _table_bytes(clusters) > VMEM_TABLE_BUDGET:
+        # scene too large for VMEM-resident tables — use the XLA wavefront
+        # traversal (HBM-native) rather than failing in Mosaic allocation
+        from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
+
+        return trace_wavefront(scene, origin, direction)
     shape = origin.shape[1:]
     n = int(np.prod(shape)) if shape else 1
     ROWS = _tile_rows(n)

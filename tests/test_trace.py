@@ -239,3 +239,18 @@ def test_pallas_render_image_matches_brute(sphere_scene):
     img_p = np.asarray(trace_image(sphere_scene, frame, 32, 24, tracer=trace_pallas))
     close = np.isclose(img_b, img_p, atol=1e-3).all(axis=-1)
     assert close.mean() > 0.99  # seam-tie pixels may shade differently
+
+
+def test_pallas_large_scene_falls_back_to_wavefront(sphere_scene, monkeypatch):
+    """Scenes whose cluster tables exceed the VMEM budget must route to the
+    wavefront tracer instead of failing Mosaic VMEM allocation."""
+    from clraytracer_tpu.ops import trace_pallas as tp
+    from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
+
+    assert tp._table_bytes(sphere_scene.clusters) < tp.VMEM_TABLE_BUDGET
+    monkeypatch.setattr(tp, "VMEM_TABLE_BUDGET", 0)
+    _, o, d = _camera_rays(32, 24)
+    hp = tp.trace_pallas(sphere_scene, o, d)
+    assert hp.attr_normal is None  # wavefront path: no kernel attrs
+    hw = trace_wavefront(sphere_scene, o, d)
+    assert_hits_match(hw, hp)
