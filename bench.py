@@ -82,9 +82,11 @@ def main() -> None:
                     config,
                     tracer=tracer,
                 )
-                return acc * 0.5 + img[0, 0, 0] + img[-1, -1, 1] + jnp.sum(
-                    img[::97, ::97, 2]
-                ) * 1e-6
+                # FULL reduce: a strided-slice consume (img[::97]) lets XLA
+                # slice-propagate backward and dead-code-eliminate real frame
+                # work (measured: the final bounce's texel gather vanished
+                # entirely) — only a complete reduction forces every pixel
+                return acc * 0.5 + jnp.sum(img) * 1e-6
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
         return run
 

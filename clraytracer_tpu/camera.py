@@ -17,6 +17,7 @@ import dataclasses
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -158,6 +159,47 @@ def ray_directions_planar(
 
     ip = inverse_projection
     # target = (cx, cy, 1, 1) @ invProj, per component
+    tx = cx * ip[0, 0] + cy * ip[1, 0] + ip[2, 0] + ip[3, 0]
+    ty = cx * ip[0, 1] + cy * ip[1, 1] + ip[2, 1] + ip[3, 1]
+    tz = cx * ip[0, 2] + cy * ip[1, 2] + ip[2, 2] + ip[3, 2]
+    tw = cx * ip[0, 3] + cy * ip[1, 3] + ip[2, 3] + ip[3, 3]
+    inv_w = 1.0 / tw
+    tx, ty, tz = tx * inv_w, ty * inv_w, tz * inv_w
+
+    iv = inverse_view
+    wx = tx * iv[0, 0] + ty * iv[1, 0] + tz * iv[2, 0] + iv[3, 0]
+    wy = tx * iv[0, 1] + ty * iv[1, 1] + tz * iv[2, 1] + iv[3, 1]
+    wz = tx * iv[0, 2] + ty * iv[1, 2] + tz * iv[2, 2] + iv[3, 2]
+    rn = 1.0 / jnp.sqrt(wx * wx + wy * wy + wz * wz)
+    return jnp.stack([wx * rn, wy * rn, wz * rn])
+
+
+def ray_directions_linear(
+    inverse_view: Array,
+    inverse_projection: Array,
+    width: int,
+    height: int,
+    rows: int,
+) -> Array:
+    """Ray-linear [3, rows, 128] normalized primary-ray directions.
+
+    Same unprojection as :func:`ray_directions_planar`, but generated
+    directly in the render loop's [rows, 128] tile layout (ray ``r*128+l``
+    is pixel ``(n % W, n // W)``) — entering the bounce loop through a
+    [3, H, W] grid costs a full lane relayout at 1080p. Pad lanes
+    (``n >= W*H``) get valid off-screen directions (``cy > 1``), so no
+    special pad handling is needed downstream.
+    """
+    n = (
+        jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0) * 128
+        + jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    )
+    i = (n % width).astype(jnp.float32)
+    j = (n // width).astype(jnp.float32)
+    cx = (i / width) * 2.0 - 1.0
+    cy = (j / height) * 2.0 - 1.0
+
+    ip = inverse_projection
     tx = cx * ip[0, 0] + cy * ip[1, 0] + ip[2, 0] + ip[3, 0]
     ty = cx * ip[0, 1] + cy * ip[1, 1] + ip[2, 1] + ip[3, 1]
     tz = cx * ip[0, 2] + cy * ip[1, 2] + ip[2, 2] + ip[3, 2]

@@ -43,6 +43,19 @@ def take_rows(table: Array, idx: Array) -> Array:
     return rows.T.reshape((table.shape[1],) + idx.shape)
 
 
+def take_rgb(pool: Array, idx: Array) -> Array:
+    """Row-gather an RGB pool ``[P, 3]`` at ``idx [...]`` → planar ``[3, ...]``.
+
+    The pool is zero-padded to 4 f32 columns first: XLA's TPU row gather is
+    ~5.5x faster on 16-byte-aligned rows than on 12-byte ones (measured at
+    2M indices on v5e: [P,3] 21 ms, [P,4] 3.9 ms, [P,8] 3.8 ms). The pad is
+    materialized once per executable (CSE'd), its VJP is a slice, so
+    gradients w.r.t. the pool stay exact scatter-adds.
+    """
+    padded = jnp.pad(pool, ((0, 0), (0, 1)))
+    return take_rows(padded, idx)[:3]
+
+
 def onehot_rows(table: Array, idx: Array) -> Array:
     """One-hot MXU gather of ``table [R, W]`` rows → planar ``[W, ...]`` f32.
 

@@ -187,7 +187,7 @@ def sample_pool_planar(
     ``w/h/off`` may be per-ray arrays (gathered records) or static ints
     (skybox). One row gather of the [P, 3] pool.
     """
-    return gather.take_rows(atlas.texels, _pool_index(w, h, off, u, v))
+    return gather.take_rgb(atlas.texels, _pool_index(w, h, off, u, v))
 
 
 def sample_skybox_static(
@@ -195,7 +195,7 @@ def sample_skybox_static(
 ) -> Array:
     """Equirect skybox sample with a static texture record → [3, *spatial]
     (MathAndSTL.cl:253-258)."""
-    return gather.take_rows(atlas.texels, _skybox_index(w, h, off, d))
+    return gather.take_rgb(atlas.texels, _skybox_index(w, h, off, d))
 
 
 def sample_skybox_planar(atlas: TextureAtlas, tex_idx: Array, d: Array) -> Array:
@@ -203,7 +203,7 @@ def sample_skybox_planar(atlas: TextureAtlas, tex_idx: Array, d: Array) -> Array
     w = jnp.take(atlas.width, tex_idx, mode="clip")
     h = jnp.take(atlas.height, tex_idx, mode="clip")
     off = jnp.take(atlas.offset, tex_idx, mode="clip")
-    return gather.take_rows(atlas.texels, _skybox_index(w, h, off, d))
+    return gather.take_rgb(atlas.texels, _skybox_index(w, h, off, d))
 
 
 # interleaved-API wrappers (tests, tooling)
@@ -438,7 +438,7 @@ def shade_hits(
     # ~5-9 ms at 1080p — this halves the per-bounce texel cost).
     aw, ah, aoff = rec(8)
     alb_idx = _pool_index(aw, ah, aoff, uu, vv)
-    texel = gather.take_rows(atlas.texels, jnp.where(hit, alb_idx, sky_idx))
+    texel = gather.take_rgb(atlas.texels, jnp.where(hit, alb_idx, sky_idx))
     sky = texel  # valid on miss lanes only (masked below)
     result = planar.where(
         miss_now, state.result + sky * state.energy, state.result

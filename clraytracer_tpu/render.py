@@ -18,7 +18,12 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from clraytracer_tpu.camera import Camera, ray_directions, ray_directions_planar
+from clraytracer_tpu.camera import (
+    Camera,
+    ray_directions,
+    ray_directions_linear,
+    ray_directions_planar,
+)
 from clraytracer_tpu.config import RenderConfig
 from clraytracer_tpu.ops import planar
 from clraytracer_tpu.ops.post import post_process
@@ -108,6 +113,24 @@ def trace_planar(
     # non-zero pad so 1/d stays finite in pad lanes
     direction = to_linear(direction, 1.0)
 
+    result = bounce_loop(
+        scene, origin, direction, sun_angle, bounces, tracer,
+        reference_parity, integer_colors,
+    )
+    return result.reshape(3, -1)[:, :n].reshape((3,) + spatial)
+
+
+def bounce_loop(
+    scene: Scene,
+    origin: Array,  # [3, rows, 128] ray-linear
+    direction: Array,  # [3, rows, 128]
+    sun_angle: Array,
+    bounces: int,
+    tracer: Tracer,
+    reference_parity: bool,
+    integer_colors: bool,
+) -> Array:
+    """The N-bounce trace+shade core over ray-linear rays (no relayouts)."""
     state = initial_bounce_state(origin, direction, sun_angle)
     for _ in range(bounces):
         hit = tracer(scene, state.origin, state.direction)
@@ -127,7 +150,7 @@ def trace_planar(
             integer_colors=integer_colors,
             attrs=attrs,
         )
-    return state.result.reshape(3, -1)[:, :n].reshape((3,) + spatial)
+    return state.result
 
 
 def trace_image(
@@ -141,16 +164,27 @@ def trace_image(
     integer_colors: bool = True,
 ) -> Array:
     """Linear [H, W, 3] radiance before post-processing — the Trace kernel's
-    output image (kernel_main.cl:164-275)."""
-    dirs = ray_directions_planar(
-        frame.inverse_view, frame.inverse_projection, width, height
-    )  # [3, H, W]
+    output image (kernel_main.cl:164-275).
+
+    Rays are generated directly in the bounce loop's ray-linear
+    [3, rows, 128] layout (camera.ray_directions_linear), so the whole
+    trace+shade loop runs relayout-free and the [H, W] image layout is
+    materialized exactly once at the end."""
+    from clraytracer_tpu.ops.trace_pallas import _tile_rows
+
+    n = width * height
+    tile = _tile_rows(n) * 128
+    rows = (-(-n // tile) * tile) // 128
+    dirs = ray_directions_linear(
+        frame.inverse_view, frame.inverse_projection, width, height, rows
+    )  # [3, rows, 128]
     origin = jnp.broadcast_to(frame.camera_position[:, None, None], dirs.shape)
-    result = trace_planar(
+    result = bounce_loop(
         scene, origin, dirs, frame.sun_angle, bounces, tracer,
         reference_parity, integer_colors,
     )
-    return planar.to_last(result, (height, width))
+    img = result.reshape(3, -1)[:, :n].reshape(3, height, width)
+    return planar.to_last(img, (height, width))
 
 
 def render_frame(

@@ -80,3 +80,21 @@ def test_camera_update_moves_and_clamps():
     assert moved.position[2] < cam.position[2]  # forward is -z
     pitched = cam.updated(mouse_delta=(0.0, 1e5), dt=1.0)
     assert pitched.pitch_deg == -89.0
+
+
+def test_ray_directions_linear_matches_planar():
+    from clraytracer_tpu.camera import ray_directions_linear, ray_directions_planar
+
+    cam = _default_camera(w=64, h=48)
+    iv = jnp.asarray(cam.inverse_view)
+    ip = jnp.asarray(cam.inverse_projection)
+    planar = np.asarray(ray_directions_planar(iv, ip, 64, 48))  # [3, 48, 64]
+    n = 64 * 48
+    rows = -(-n // 128) + 8  # deliberately over-padded
+    linear = np.asarray(ray_directions_linear(iv, ip, 64, 48, rows))
+    flat = linear.reshape(3, -1)[:, :n].reshape(3, 48, 64)
+    np.testing.assert_array_equal(flat, planar)
+    # pad lanes are finite & normalized (safe to trace)
+    tail = linear.reshape(3, -1)[:, n:]
+    assert np.all(np.isfinite(tail))
+    np.testing.assert_allclose(np.sum(tail * tail, axis=0), 1.0, atol=1e-5)

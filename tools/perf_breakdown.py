@@ -98,7 +98,7 @@ def main() -> None:
             W,
             H,
         )
-        return acc * 0.5 + dirs[0, 0, 0] + jnp.sum(dirs[2, ::97, ::97]) * 1e-6
+        return acc * 0.5 + jnp.sum(dirs) * 1e-6
 
     dirs0 = ray_directions_planar(
         frame.inverse_view, frame.inverse_projection, W, H
@@ -109,12 +109,7 @@ def main() -> None:
 
     def trace1(acc):
         hit = trace_pallas(scene, origin0 + acc * 1e-20, dirs0)
-        return (
-            acc * 0.5
-            + hit.t[0, 0]
-            + jnp.sum(hit.t[::97, ::97]) * 1e-6
-            + hit.u[5, 5]
-        )
+        return acc * 0.5 + jnp.sum(hit.t) * 1e-6 + jnp.sum(hit.u) * 1e-6
 
     def frame_fn(bounces, post):
         cfg = RenderConfig(width=W, height=H, bounces=bounces, enable_post=post)
@@ -126,12 +121,7 @@ def main() -> None:
                 cfg,
                 tracer=trace_pallas,
             )
-            return (
-                acc * 0.5
-                + img[0, 0, 0]
-                + img[-1, -1, 1]
-                + jnp.sum(img[::97, ::97, 2]) * 1e-6
-            )
+            return acc * 0.5 + jnp.sum(img) * 1e-6
 
         return fn
 
@@ -150,22 +140,19 @@ def main() -> None:
             scene, state, t=hit0.t, u=hit0.u, v=hit0.v, tri_idx=hit0.tri,
             instance_idx=hit0.instance, hit=hit0.hit, attrs=attrs0,
         )
-        return (
-            acc * 0.5 + st.result[0, 0, 0]
-            + jnp.sum(st.result[2, ::97, ::97]) * 1e-6
-        )
+        return acc * 0.5 + jnp.sum(st.result) * 1e-6
 
     def texel_gather(acc):
         idx = (
             (dirs0[0] * 1e4 + acc).astype(jnp.int32) % scene.atlas.texels.shape[0]
         )
         tex = gather.take_rows(scene.atlas.texels, idx)
-        return acc * 0.5 + tex[0, 0, 0] + jnp.sum(tex[2, ::97, ::97]) * 1e-6
+        return acc * 0.5 + jnp.sum(tex) * 1e-6
 
     def tri_take(acc):
         slot = (dirs0[0] * 1e4 + acc).astype(jnp.int32) % scene.clusters.tri_gid.shape[0]
         tri = jnp.take(scene.clusters.tri_gid, slot, mode="clip")
-        return acc * 0.5 + jnp.sum(tri[::97, ::97]).astype(jnp.float32) * 1e-6
+        return acc * 0.5 + jnp.sum(tri).astype(jnp.float32) * 1e-6
 
     from clraytracer_tpu.ops import planar
     from clraytracer_tpu.render import trace_planar
@@ -173,7 +160,7 @@ def main() -> None:
     def interleave(acc):
         p = dirs0 + acc * 1e-20  # [3, H, W]
         img = planar.to_last(p, (H, W))
-        return acc * 0.5 + img[0, 0, 0] + jnp.sum(img[::97, ::97, 2]) * 1e-6
+        return acc * 0.5 + jnp.sum(img) * 1e-6
 
     def frame_planar(bounces):
         def fn(acc):
@@ -182,16 +169,162 @@ def main() -> None:
                 frame.sun_angle + acc * 1e-20, bounces, trace_pallas,
                 True, True,
             )
-            return (
-                acc * 0.5 + res[0, 0, 0]
-                + jnp.sum(res[2, ::97, ::97]) * 1e-6
+            return acc * 0.5 + jnp.sum(res) * 1e-6
+        return fn
+
+    def relayout(acc):
+        x = dirs0 + acc * 1e-20  # [3, H, W]
+        rows = (H * W) // 128
+        lin = x.reshape(3, -1).reshape(3, rows, 128)
+        back = lin.reshape(3, -1).reshape(3, H, W)
+        return acc * 0.5 + jnp.sum(back) * 1e-6
+
+    def tshade(acc):
+        hit = trace_pallas(scene, origin0 + acc * 1e-20, dirs0)
+        at = (hit.attr_normal, hit.attr_uu, hit.attr_vv, hit.attr_mat)
+        state = initial_bounce_state(origin0, dirs0, jnp.float32(-1.96))
+        st = shade_hits(
+            scene, state, t=hit.t, u=hit.u, v=hit.v, tri_idx=hit.tri,
+            instance_idx=hit.instance, hit=hit.hit, attrs=at,
+        )
+        return acc * 0.5 + jnp.sum(st.result) * 1e-6
+
+    def tshade_bar(acc):
+        hit = trace_pallas(scene, origin0 + acc * 1e-20, dirs0)
+        hit = jax.tree.map(jax.lax.optimization_barrier, hit)
+        at = (hit.attr_normal, hit.attr_uu, hit.attr_vv, hit.attr_mat)
+        state = initial_bounce_state(origin0, dirs0, jnp.float32(-1.96))
+        st = shade_hits(
+            scene, state, t=hit.t, u=hit.u, v=hit.v, tri_idx=hit.tri,
+            instance_idx=hit.instance, hit=hit.hit, attrs=at,
+        )
+        return acc * 0.5 + jnp.sum(st.result) * 1e-6
+
+    def gather_coh(acc):
+        # coherent indices: neighboring rays → neighboring pool rows
+        base = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1) // 4
+        idx = (base + acc.astype(jnp.int32)) % scene.atlas.texels.shape[0]
+        tex = gather.take_rows(scene.atlas.texels, idx)
+        return acc * 0.5 + jnp.sum(tex) * 1e-6
+
+    def texel_rgb4(acc):
+        idx = (
+            (dirs0[0] * 1e4 + acc).astype(jnp.int32) % scene.atlas.texels.shape[0]
+        )
+        tex = gather.take_rgb(scene.atlas.texels, idx)
+        return acc * 0.5 + jnp.sum(tex) * 1e-6
+
+    def trace_all(acc):
+        hit = trace_pallas(scene, origin0 + acc * 1e-20, dirs0)
+        leaves = jax.tree.leaves(hit)
+        return acc * 0.5 + sum(
+            jnp.sum(l.astype(jnp.float32)) for l in leaves
+        ) * 1e-6
+
+    rows_lin = (H * W) // 128
+    dirs_lin = dirs0.reshape(3, rows_lin, 128)
+    origin_lin = jnp.broadcast_to(
+        frame.camera_position[:, None, None], dirs_lin.shape
+    )
+
+    def trace_all_lin(acc):
+        hit = trace_pallas(scene, origin_lin + acc * 1e-20, dirs_lin)
+        leaves = jax.tree.leaves(hit)
+        return acc * 0.5 + sum(
+            jnp.sum(l.astype(jnp.float32)) for l in leaves
+        ) * 1e-6
+
+    def texel_extpad(acc):
+        # pool padded to [P, 4] OUTSIDE jit (device-resident argument)
+        idx = (
+            (dirs0[0] * 1e4 + acc).astype(jnp.int32) % pool4.shape[0]
+        )
+        tex = gather.take_rows(pool4, idx)
+        return acc * 0.5 + jnp.sum(tex) * 1e-6
+
+    pool4 = jax.device_put(
+        jnp.pad(np.asarray(scene.atlas.texels), ((0, 0), (0, 1)))
+    )
+
+    def tshade_variant(patches):
+        """tshade with named pieces stubbed out (jit-trace-time patches)."""
+        import contextlib
+        from clraytracer_tpu.ops import shade as shade_mod
+
+        @contextlib.contextmanager
+        def patched():
+            saved = {}
+            if "nogather" in patches:
+                saved["take_rgb"] = gather.take_rgb
+                gather.take_rgb = lambda pool, idx: jnp.zeros(
+                    (3,) + idx.shape, jnp.float32
+                ) + idx[None].astype(jnp.float32) * 1e-20
+            if "noonehot" in patches:
+                saved["onehot_rows"] = gather.onehot_rows
+                gather.onehot_rows = lambda table, idx: (
+                    jnp.zeros((table.shape[1],) + idx.shape, jnp.float32)
+                    + table[0][(...,) + (None,) * idx.ndim]
+                    + idx[None].astype(jnp.float32) * 1e-20
+                )
+            if "nosky" in patches:
+                saved["_skybox_index"] = shade_mod._skybox_index
+                shade_mod._skybox_index = lambda w, h, off, d: (
+                    d[0].astype(jnp.int32) * 0
+                )
+            try:
+                yield
+            finally:
+                gather.take_rgb = saved.get("take_rgb", gather.take_rgb)
+                gather.onehot_rows = saved.get("onehot_rows", gather.onehot_rows)
+                shade_mod._skybox_index = saved.get(
+                    "_skybox_index", shade_mod._skybox_index
+                )
+
+        def fn(acc):
+            with patched():
+                hit = trace_pallas(scene, origin0 + acc * 1e-20, dirs0)
+                at = (hit.attr_normal, hit.attr_uu, hit.attr_vv, hit.attr_mat)
+                state = initial_bounce_state(origin0, dirs0, jnp.float32(-1.96))
+                st = shade_hits(
+                    scene, state, t=hit.t, u=hit.u, v=hit.v, tri_idx=hit.tri,
+                    instance_idx=hit.instance, hit=hit.hit, attrs=at,
+                )
+            return acc * 0.5 + jnp.sum(st.result) * 1e-6
+
+        return fn
+
+    def gather_w(width):
+        pool = jnp.zeros((scene.atlas.texels.shape[0], width), jnp.float32)
+
+        def fn(acc):
+            idx = (
+                (dirs0[0] * 1e4 + acc).astype(jnp.int32) % pool.shape[0]
             )
+            tex = gather.take_rows(pool, idx)
+            return acc * 0.5 + jnp.sum(tex) * 1e-6
+
         return fn
 
     components = {
         "raygen": raygen,
+        "tshade_bar": tshade_bar,
+        "gather_coh": gather_coh,
+        "texel_rgb4": texel_rgb4,
+        "texel_extpad": texel_extpad,
+        "trace_all": trace_all,
+        "trace_all_lin": trace_all_lin,
+        "tshade_nogather": tshade_variant({"nogather"}),
+        "tshade_noonehot": tshade_variant({"noonehot"}),
+        "tshade_nosky": tshade_variant({"nosky"}),
+        "tshade_bare": tshade_variant({"nogather", "noonehot", "nosky"}),
+        "gather_w1": gather_w(1),
+        "gather_w4": gather_w(4),
+        "gather_w8": gather_w(8),
+        "gather_w16": gather_w(16),
         "trace1": trace1,
         "shade1": shade1,
+        "relayout": relayout,
+        "tshade": tshade,
         "interleave": interleave,
         "frame_planar_b1": frame_planar(1),
         "frame_planar_b2": frame_planar(2),
