@@ -38,15 +38,15 @@ def main() -> None:
     from clraytracer_tpu.render import TRACERS, frame_inputs_from_camera, render_frame
     from clraytracer_tpu.scene import SceneBuilder
     from clraytracer_tpu.scene.procedural import uv_sphere
-    from clraytracer_tpu.scene.textures import checkerboard, gradient_sky
+    from clraytracer_tpu.scene import procedural_tex as ptex
 
     # ~args.tris triangles: 2 * n_lon * (n_lat - 1) with n_lon = 2 * n_lat
     n_lat = max(4, int((args.tris / 4) ** 0.5) + 1)
     n_lon = 2 * n_lat
 
     b = SceneBuilder()
-    b.import_texture(gradient_sky(512, 256))
-    checker = b.import_texture(checkerboard(128, 8))
+    b.import_procedural(ptex.sky_gradient(512, 256))
+    checker = b.import_procedural(ptex.checker(128, 8))
     mat = b.create_material(
         albedo=(0.9, 0.6, 0.3), albedo_tex=checker, shininess=1.0, roughness=0.4
     )

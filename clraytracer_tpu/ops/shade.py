@@ -178,6 +178,48 @@ def _skybox_index(w, h, off, d: Array) -> Array:
     return phi * _as_i32(w) + theta + _as_i32(off)
 
 
+def _all_procedural(scene: Scene) -> bool:
+    """Static: does every texture in the scene have a procedural descriptor?
+    (Then the fast path can skip the texel-pool gather entirely.)"""
+    handles = {h for h, _, _ in scene.procedural_tex}
+    return handles >= set(range(scene.atlas.num_textures))
+
+
+def _eval_tex_inline(scene: Scene, off: Array, uu: Array, vv: Array) -> Array:
+    """In-register texture fetch for all-procedural scenes → [3, *S] in
+    [0, 1]. Selects each ray's texture by comparing its (gathered) texel
+    offset against the static per-descriptor offsets; the per-descriptor
+    wrap+truncate reproduces the pool-index math bit-exactly, so values
+    equal a pool gather of the baked images."""
+    from clraytracer_tpu.scene.procedural_tex import eval_texel
+
+    out = None
+    for _handle, t_off, desc in scene.procedural_tex:
+        ui = _wrap_scale(uu, float(desc.width)).astype(jnp.float32)
+        vi = _wrap_scale(vv, float(desc.height)).astype(jnp.float32)
+        rgb = eval_texel(desc, ui, vi) * _U8
+        out = rgb if out is None else planar.where(off == t_off, rgb, out)
+    return out
+
+
+def _eval_skybox_inline(
+    scene: Scene, sky_flat: Array, skw: int, skoff: int
+) -> Array:
+    """In-register equirect skybox fetch → [3, *S] in [0, 1]. Reconstructs
+    the 2D texel coords from the same flat index the pool gather uses
+    (``phi * w + theta``, theta possibly negative — the flat form's implicit
+    row wrap is reproduced by the floor-divmod)."""
+    from clraytracer_tpu.scene.procedural_tex import eval_texel
+
+    desc = next(
+        d for h, _o, d in scene.procedural_tex if h == scene.skybox_tex
+    )
+    rel = sky_flat - skoff
+    i = (rel % skw).astype(jnp.float32)
+    j = jnp.clip(rel // skw, 0, desc.height - 1).astype(jnp.float32)
+    return eval_texel(desc, i, j) * _U8
+
+
 def sample_pool_planar(
     atlas: TextureAtlas, w: Array | int, h: Array | int, off: Array | int,
     u: Array, v: Array,
@@ -432,14 +474,25 @@ def shade_hits(
         )
     )
 
-    # ---- fused texel fetch: albedo for hits, skybox for misses ------------
-    # The two samples read the same pool and are consumed on mutually
-    # exclusive lanes, so ONE row gather serves both (a pool gather is
-    # ~5-9 ms at 1080p — this halves the per-bounce texel cost).
+    # ---- texel fetch ------------------------------------------------------
+    # All textures procedural (static fact): evaluate them in-register —
+    # pure VPU math, no gather at all. Otherwise ONE fused row gather
+    # serves albedo (hit lanes) and skybox (miss lanes): the per-ray pool
+    # gather is XLA's serial scalar loop (~15-22 ms at 1080p), the
+    # dominant frame cost, so gathers are never spent twice.
     aw, ah, aoff = rec(8)
-    alb_idx = _pool_index(aw, ah, aoff, uu, vv)
-    texel = gather.take_rgb(atlas.texels, jnp.where(hit, alb_idx, sky_idx))
-    sky = texel  # valid on miss lanes only (masked below)
+    inline = fast and _all_procedural(scene)
+    if inline:
+        sky = _eval_skybox_inline(scene, sky_idx, skw, skoff)
+        texel = planar.where(
+            hit, _eval_tex_inline(scene, aoff, uu, vv), sky
+        )
+    else:
+        alb_idx = _pool_index(aw, ah, aoff, uu, vv)
+        texel = gather.take_rgb(
+            atlas.texels, jnp.where(hit, alb_idx, sky_idx)
+        )
+        sky = texel  # valid on miss lanes only (masked below)
     result = planar.where(
         miss_now, state.result + sky * state.energy, state.result
     )
@@ -455,7 +508,10 @@ def shade_hits(
         shininess = None  # constant 1.0 — the pow is skipped below
     else:
         sw, sh, soff = rec(12)
-        spec_texel = sample_pool_planar(atlas, sw, sh, soff, uu, vv)
+        if inline:
+            spec_texel = _eval_tex_inline(scene, soff, uu, vv)
+        else:
+            spec_texel = sample_pool_planar(atlas, sw, sh, soff, uu, vv)
         if integer_colors:
             specular_color = _modulate_bytes(spec_texel, spec_rgb)
         else:

@@ -68,10 +68,16 @@ def _tile_rows(n_rays: int) -> int:
 
 
 def _make_kernel(
-    instance_ranges: tuple[tuple[int, int, int, int], ...], rows: int
+    instance_ranges: tuple[tuple[int, int, int, int], ...],
+    rows: int,
+    variant: str = "full",
 ):
     """Builds the kernel body for a static per-instance range list
-    (supercluster start/count, cluster start/count per instance)."""
+    (supercluster start/count, cluster start/count per instance).
+
+    ``variant`` (perf analysis; tools/perf_breakdown.py): "full" = shipped
+    kernel; "noattr" = skip the inline attribute interpolation; "geom" =
+    intersection only (no best-attr carry at all)."""
 
     n_instances = len(instance_ranges)
     ROWS = rows
@@ -215,6 +221,14 @@ def _make_kernel(
                     slot = c * CLUSTER_SIZE + k
                     btri = jnp.where(ok, slot, btri)
                     binst = jnp.where(ok, jnp.int32(inst), binst)
+                    if variant == "geom":
+                        continue
+                    if variant == "noattr":
+                        bu, bv = battr[0], battr[1]
+                        battr = (
+                            jnp.where(ok, u, bu), jnp.where(ok, v, bv),
+                        ) + battr[2:]
+                        continue
                     # attribute interpolation (same expression tree as the
                     # XLA path in shade_hits → bit-identical): w0*a0+u*a1+v*a2
                     w0 = 1.0 - u - v
@@ -266,7 +280,9 @@ def _make_kernel(
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("instance_ranges", "rows"))
+@functools.partial(
+    jax.jit, static_argnames=("instance_ranges", "rows", "variant")
+)
 def _trace_tiles(
     rays6: tuple[Array, ...],  # 6 x [T, ROWS, 128]: ox oy oz dx dy dz
     inv: Array,  # [I, 16]
@@ -281,10 +297,11 @@ def _trace_tiles(
     at_d: Array,
     instance_ranges: tuple[tuple[int, int, int, int], ...],
     rows: int = MAX_ROWS,
+    variant: str = "full",
 ):
     n_tiles = rays6[0].shape[0]
     ROWS = rows
-    kernel = _make_kernel(instance_ranges, rows)
+    kernel = _make_kernel(instance_ranges, rows, variant)
     # tests and the golden path run on CPU: interpret the kernel there
     interpret = jax.default_backend() != "tpu"
     # each ray component arrives as its own [T, ROWS, 128] array — a pure
@@ -337,7 +354,9 @@ def _table_bytes(clusters) -> int:
     return c * (7 * 128 * 4 + 8 * 4) + s * 8 * 4
 
 
-def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
+def trace_pallas(
+    scene: Scene, origin: Array, direction: Array, variant: str = "full"
+) -> SceneHit:
     """Drop-in Tracer backed by the Pallas tile kernel.
     ``origin``/``direction``: planar [3, ...] — tiling is a pure reshape."""
     clusters = scene.clusters
@@ -388,6 +407,7 @@ def trace_pallas(scene: Scene, origin: Array, direction: Array) -> SceneHit:
         clusters.at_d,
         ranges,
         rows=ROWS,
+        variant=variant,
     )
 
     def untile(x: Array) -> Array:

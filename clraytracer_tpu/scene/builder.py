@@ -72,12 +72,19 @@ class SceneBuilder:
     an immutable Scene."""
 
     def __init__(self, pools: PoolConfig | None = None) -> None:
+        from clraytracer_tpu.scene import procedural_tex as ptex
+
         self.pools = pools or PoolConfig()
         self.atlas = AtlasBuilder(max_texels=self.pools.max_texel_bytes // 3)
         self._meshes: list[MeshData] = []
         self._mesh_material_start: list[int] = []
         self._materials: list[_MatRec] = []
         self._instances: list[_InstanceRec] = []
+        # the default white/black 1x1 textures are trivially procedural
+        self._procedurals: dict[int, ptex.ProceduralTexture] = {
+            WHITE_TEXTURE: ptex.constant((255, 255, 255)),
+            BLACK_TEXTURE: ptex.constant((0, 0, 0)),
+        }
         self._prepare_default_material()
 
     # -- materials ----------------------------------------------------------
@@ -140,6 +147,18 @@ class SceneBuilder:
         if isinstance(source, np.ndarray):
             return self.atlas.add_image(source)
         return self.atlas.load_image(source)
+
+    def import_procedural(self, desc) -> int:
+        """Register a procedural texture (scene/procedural_tex.py): bakes it
+        into the atlas like any image (so the differentiable/golden paths and
+        texel editing work unchanged) AND records the closed-form descriptor
+        so the fast shading path can evaluate it in-register instead of
+        gathering the pool. Returns the texture handle."""
+        from clraytracer_tpu.scene import procedural_tex as ptex
+
+        handle = self.import_texture(ptex.bake(desc))
+        self._procedurals[handle] = desc
+        return handle
 
     # -- meshes ---------------------------------------------------------------
 
@@ -294,8 +313,14 @@ class SceneBuilder:
         )
 
         texels_u8, width, height, offset = self.atlas.build()
+        # NOTE bytes * (1/255), not bytes / 255: the procedural inline path
+        # computes exactly `byte * np.float32(1/255)`, and using the same
+        # product here keeps pool-gathered and in-register texel values
+        # bit-identical (f32 division is not correctly rounded on TPU)
         atlas = TextureAtlas(
-            texels=jnp.asarray(texels_u8.astype(np.float32) / 255.0),
+            texels=jnp.asarray(
+                texels_u8.astype(np.float32) * np.float32(1.0 / 255.0)
+            ),
             width=jnp.asarray(width),
             height=jnp.asarray(height),
             offset=jnp.asarray(offset),
@@ -357,6 +382,12 @@ class SceneBuilder:
             super_aabb=jnp.asarray(pad8(ct.super_min, ct.super_max)),
             mesh_ranges=ct.mesh_ranges,
         )
+        procedural = tuple(
+            sorted(
+                (h, int(offset[h]), desc)
+                for h, desc in self._procedurals.items()
+            )
+        )
         return Scene(
             clusters=clusters,
             tris=tris,
@@ -366,6 +397,7 @@ class SceneBuilder:
             instances=instances,
             packed=packed,
             skybox_tex=skybox,
+            procedural_tex=procedural,
         )
 
     def _packed_tables(

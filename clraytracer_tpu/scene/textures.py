@@ -93,34 +93,19 @@ def checkerboard(
     color_a: tuple[int, int, int] = (255, 255, 255),
     color_b: tuple[int, int, int] = (40, 40, 40),
 ) -> np.ndarray:
-    """Procedural checker texture for tests/benchmarks."""
-    ij = np.arange(size)
-    mask = ((ij[:, None] * cells // size) + (ij[None, :] * cells // size)) % 2
-    img = np.where(
-        mask[..., None] == 0,
-        np.array(color_a, np.uint8),
-        np.array(color_b, np.uint8),
-    )
-    return img.astype(np.uint8)
+    """Checker texture image — the bake of the ``checker`` procedural
+    descriptor (scene/procedural_tex.py), so image-imported and
+    procedurally-registered checkers are texel-identical."""
+    from clraytracer_tpu.scene import procedural_tex as ptex
+
+    return ptex.bake(ptex.checker(size, cells, color_a, color_b))
 
 
 def gradient_sky(width: int = 256, height: int = 128) -> np.ndarray:
-    """Procedural equirect sky: horizon-to-zenith gradient plus a sun disc.
+    """Equirect sky image (gradient + ground + sun disc) — the bake of the
+    ``sky_gradient`` procedural descriptor. Stand-in for the reference's
+    ``cape_hill_4k.jpg`` skybox (Engine.cpp:61) where no asset files are
+    wanted."""
+    from clraytracer_tpu.scene import procedural_tex as ptex
 
-    Stand-in for the reference's ``cape_hill_4k.jpg`` skybox (Engine.cpp:61)
-    in tests where no asset files are wanted.
-    """
-    v = np.linspace(0.0, 1.0, height, dtype=np.float32)[:, None]  # 0=zenith
-    zenith = np.array([60, 90, 170], np.float32)
-    horizon = np.array([200, 210, 235], np.float32)
-    ground = np.array([90, 70, 55], np.float32)
-    upper = zenith[None, None] * (1 - v[..., None] * 2) + horizon[None, None] * (
-        v[..., None] * 2
-    )
-    img = np.where(v[..., None] < 0.5, upper, ground[None, None])
-    img = np.broadcast_to(img, (height, width, 3)).copy()
-    # sun disc
-    u = np.linspace(0, 1, width, dtype=np.float32)[None, :]
-    d2 = (u - 0.25) ** 2 + (v - 0.3) ** 2
-    img[np.broadcast_to(d2 < 0.001, (height, width))] = 255.0
-    return np.clip(img, 0, 255).astype(np.uint8)
+    return ptex.bake(ptex.sky_gradient(width, height))

@@ -210,6 +210,13 @@ class Scene:
     #: Texture index used for the equirect skybox (reference hardcodes
     #: textures[2], kernel_main.cl:220).
     skybox_tex: int = static_field(default=2)
+    #: Procedural-texture registry: (texture handle, texel-pool offset,
+    #: descriptor) triples, static. Every registered handle is ALSO baked
+    #: into the atlas (differentiable/golden paths and texel edits keep
+    #: working); when every texture a scene references is registered here,
+    #: the fast shading path evaluates textures in-register instead of
+    #: gathering the pool (see ops/shade.py and scene/procedural_tex.py).
+    procedural_tex: tuple = static_field(default=())
 
     @property
     def num_instances(self) -> int:

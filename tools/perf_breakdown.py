@@ -51,6 +51,59 @@ def chain_time(fn, n_iters: int) -> float:
     return max((tn - t1) / n_iters, 1e-9)
 
 
+def profile_time(fn, name: str, reps: int = 4) -> dict:
+    """Trace a ``reps``-chain of fn under jax.profiler and aggregate device
+    op durations (ms per rep). The chain-difference wall-clock method
+    under-reports ops the scheduler overlaps (measured: the Pallas kernel
+    read 0.6 ms by chain-difference vs 13 ms/bounce in the device trace),
+    so the profiler is the arbiter for per-op attribution."""
+    import collections
+    import glob
+    import gzip
+    import json as _json
+    import shutil
+    import tempfile
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, reps, lambda i, acc: fn(acc), x)
+
+    float(run(jnp.float32(0.0)))  # compile + warm
+    tmp = tempfile.mkdtemp(prefix=f"xprof_{name}_")
+    jax.profiler.start_trace(tmp)
+    float(run(jnp.float32(0.0)))
+    jax.profiler.stop_trace()
+
+    traces = glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True)
+    dur: collections.Counter = collections.Counter()
+    total = 0.0
+    for path in traces:
+        with gzip.open(path) as f:
+            tr = _json.load(f)
+        ev = tr.get("traceEvents", [])
+        tidname = {
+            (e["pid"], e["tid"]): e["args"]["name"]
+            for e in ev
+            if e.get("ph") == "M" and e.get("name") == "thread_name"
+        }
+        for e in ev:
+            if (
+                e.get("ph") == "X"
+                and tidname.get((e.get("pid"), e.get("tid"))) == "XLA Ops"
+                and not e["name"].startswith("while")
+            ):
+                dur[e["name"]] += e.get("dur", 0)
+                total += e.get("dur", 0)
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = {
+        "total_ms_per_rep": round(total / reps / 1e3, 3),
+        "top": [
+            (n, round(d / reps / 1e3, 3)) for n, d in dur.most_common(12)
+        ],
+    }
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=1920)
@@ -59,6 +112,10 @@ def main() -> None:
     ap.add_argument("--tris", type=int, default=4096)
     ap.add_argument(
         "--only", default=None, help="comma list of component names to run"
+    )
+    ap.add_argument(
+        "--mode", default="chain", choices=["chain", "profile"],
+        help="chain = wall-clock difference; profile = device-trace op sums",
     )
     args = ap.parse_args()
 
@@ -73,13 +130,13 @@ def main() -> None:
     )
     from clraytracer_tpu.scene import SceneBuilder
     from clraytracer_tpu.scene.procedural import uv_sphere
-    from clraytracer_tpu.scene.textures import checkerboard, gradient_sky
+    from clraytracer_tpu.scene import procedural_tex as ptex
 
     W, H = args.width, args.height
     n_lat = max(4, int((args.tris / 4) ** 0.5) + 1)
     b = SceneBuilder()
-    b.import_texture(gradient_sky(512, 256))
-    checker = b.import_texture(checkerboard(128, 8))
+    b.import_procedural(ptex.sky_gradient(512, 256))
+    checker = b.import_procedural(ptex.checker(128, 8))
     mat = b.create_material(
         albedo=(0.9, 0.6, 0.3), albedo_tex=checker, shininess=1.0, roughness=0.4
     )
@@ -246,6 +303,55 @@ def main() -> None:
         jnp.pad(np.asarray(scene.atlas.texels), ((0, 0), (0, 1)))
     )
 
+    def trace_variant(variant):
+        def fn(acc):
+            hit = trace_pallas(
+                scene, origin0 + acc * 1e-20, dirs0, variant=variant
+            )
+            # consume geometry + one attr; skip hit.tri (tri_gid take)
+            leaves = [hit.t, hit.u, hit.v, hit.attr_uu]
+            return acc * 0.5 + sum(jnp.sum(l) for l in leaves) * 1e-6
+
+        return fn
+
+    def trace_lin(acc):
+        """Exactly the frame's bounce-1 trace input path (ray-linear)."""
+        from clraytracer_tpu.camera import ray_directions_linear
+        from clraytracer_tpu.ops.trace_pallas import _tile_rows
+
+        n = W * H
+        tile = _tile_rows(n) * 128
+        rows = (-(-n // tile) * tile) // 128
+        dirs = ray_directions_linear(
+            frame.inverse_view + acc * 1e-20,
+            frame.inverse_projection, W, H, rows,
+        )
+        origin = jnp.broadcast_to(
+            frame.camera_position[:, None, None], dirs.shape
+        )
+        hit = trace_pallas(scene, origin, dirs)
+        leaves = [hit.t, hit.u, hit.v, hit.attr_uu]
+        return acc * 0.5 + sum(jnp.sum(l) for l in leaves) * 1e-6
+
+    def trace_consume(which):
+        def fn(acc):
+            hit = trace_pallas(scene, origin0 + acc * 1e-20, dirs0)
+            sel = {
+                "base": [hit.t, hit.u, hit.v, hit.attr_uu],
+                "vvmat": [hit.t, hit.attr_uu, hit.attr_vv, hit.attr_mat],
+                "normal": [hit.t, hit.attr_normal],
+                "inst": [hit.t, hit.instance.astype(jnp.float32)],
+                "tri": [hit.t, hit.tri.astype(jnp.float32)],
+                "all": [
+                    hit.t, hit.u, hit.v, hit.attr_uu, hit.attr_vv,
+                    hit.attr_mat, hit.attr_normal,
+                    hit.instance.astype(jnp.float32),
+                ],
+            }[which]
+            return acc * 0.5 + sum(jnp.sum(l) for l in sel) * 1e-6
+
+        return fn
+
     def tshade_variant(patches):
         """tshade with named pieces stubbed out (jit-trace-time patches)."""
         import contextlib
@@ -309,6 +415,15 @@ def main() -> None:
         "raygen": raygen,
         "tshade_bar": tshade_bar,
         "gather_coh": gather_coh,
+        "trace_full": trace_variant("full"),
+        "trace_lin": trace_lin,
+        "trace_c_vvmat": trace_consume("vvmat"),
+        "trace_c_normal": trace_consume("normal"),
+        "trace_c_inst": trace_consume("inst"),
+        "trace_c_tri": trace_consume("tri"),
+        "trace_c_all": trace_consume("all"),
+        "trace_noattr": trace_variant("noattr"),
+        "trace_geom": trace_variant("geom"),
         "texel_rgb4": texel_rgb4,
         "texel_extpad": texel_extpad,
         "trace_all": trace_all,
@@ -337,6 +452,14 @@ def main() -> None:
     if args.only:
         names = args.only.split(",")
         components = {k: components[k] for k in names}
+
+    if args.mode == "profile":
+        for name, fn in components.items():
+            prof = profile_time(fn, name)
+            print(f"== {name}: {prof['total_ms_per_rep']} ms/rep ==", flush=True)
+            for opname, ms in prof["top"]:
+                print(f"  {ms:9.3f} ms  {opname[:100]}", flush=True)
+        return
 
     out = {}
     for name, fn in components.items():
