@@ -83,10 +83,10 @@ def _make_kernel(
     ROWS = rows
 
     def kernel(
-        ox_ref,  # [8, 128] tile ray origin x (world)
+        ox_ref,  # [ROWS, 128] tile ray origin x (world)
         oy_ref,
         oz_ref,
-        dx_ref,  # [8, 128] tile ray direction x (world)
+        dx_ref,  # [ROWS, 128] tile ray direction x (world)
         dy_ref,
         dz_ref,
         inv_ref,  # [I, 16] instance inverse transforms (row-major, row-vector)
@@ -99,17 +99,15 @@ def _make_kernel(
         ab_ref,  # [C, 128] n1y|n1z|n2x|n2y
         ac_ref,  # [C, 128] n2z|uv0u|uv0v|uv1u
         ad_ref,  # [C, 128] uv1v|uv2u|uv2v|mat_local
-        out_t,  # [8, 128]
-        out_u,  # [8, 128] barycentrics (diff recompute / picking consumers)
-        out_v,
-        out_tri,  # [8, 128] i32 (padded-table triangle slot c*32+k)
-        out_inst,  # [8, 128] i32
-        out_nx,  # [8, 128] interpolated object-space normal (unnormalized)
-        out_ny,
-        out_nz,
-        out_uu,  # [8, 128] interpolated uv
-        out_vv,
-        out_mat,  # [8, 128] f32 mesh-local material index
+        out_ref,  # [11 * ROWS, 128] f32 — ALL results in ONE buffer:
+        #   row blocks k*ROWS..(k+1)*ROWS = t | u | v | tri(i32 bitcast) |
+        #   inst(i32 bitcast) | nx | ny | nz | uu | vv | mat_local.
+        #   One fused result = one output DMA stream per tile and one HBM
+        #   buffer; consumers take contiguous row-block slices (free).
+        #   (Historical note: an apparent 4.1 vs 14.9 ms consumer-dependent
+        #   kernel time led here, but that was a *measurement artifact* —
+        #   unbounded chain accumulators perturbed ray origins by ~1e10 and
+        #   emptied the scene; see tools/perf_breakdown._bounded.)
         sc_scratch,  # SMEM [S_total] i32
         cl_scratch,  # SMEM [C_total] i32
     ):
@@ -265,17 +263,14 @@ def _make_kernel(
                 0, nb, phase_c, (best_t, best_tri, best_inst, best_attr)
             )
 
-        out_t[:] = best_t
-        out_u[:] = best_attr[0]
-        out_v[:] = best_attr[1]
-        out_tri[:] = best_tri
-        out_inst[:] = best_inst
-        out_nx[:] = best_attr[2]
-        out_ny[:] = best_attr[3]
-        out_nz[:] = best_attr[4]
-        out_uu[:] = best_attr[5]
-        out_vv[:] = best_attr[6]
-        out_mat[:] = best_attr[7]
+        as_f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        fields = (
+            best_t, best_attr[0], best_attr[1], as_f32(best_tri),
+            as_f32(best_inst), best_attr[2], best_attr[3], best_attr[4],
+            best_attr[5], best_attr[6], best_attr[7],
+        )
+        for k, val in enumerate(fields):
+            out_ref[k * ROWS:(k + 1) * ROWS, :] = val
 
     return kernel
 
@@ -312,33 +307,29 @@ def _trace_tiles(
         (None, ROWS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((None, ROWS, 128), lambda i: (i, 0, 0))
-    f32 = jnp.float32
-    shp = lambda dt: jax.ShapeDtypeStruct((n_tiles, ROWS, 128), dt)
-    return pl.pallas_call(
+    # single fused result (see the kernel's out_ref comment)
+    out_spec = pl.BlockSpec((None, 11 * ROWS, 128), lambda i: (i, 0, 0))
+    big = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        out_shape=(
-            shp(f32),  # t
-            shp(f32),  # u
-            shp(f32),  # v
-            shp(jnp.int32),  # tri slot
-            shp(jnp.int32),  # inst
-            shp(f32),  # nx
-            shp(f32),  # ny
-            shp(f32),  # nz
-            shp(f32),  # uu
-            shp(f32),  # vv
-            shp(f32),  # mat_local
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, 11 * ROWS, 128), jnp.float32
         ),
         in_specs=[tile_spec] * 6 + [full] * 10,
-        out_specs=(out_spec,) * 11,
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
             pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
         ],
         interpret=interpret,
     )(*rays6, inv, scab, clab, tri_a, tri_b, tri_c, at_a, at_b, at_c, at_d)
+
+    fld = lambda k: big[:, k * ROWS:(k + 1) * ROWS, :]
+    as_i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    return (
+        fld(0), fld(1), fld(2), as_i32(fld(3)), as_i32(fld(4)),
+        fld(5), fld(6), fld(7), fld(8), fld(9), fld(10),
+    )
 
 
 #: VMEM budget for the resident cluster tables (bytes). A v5e core has

@@ -28,8 +28,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _bounded(fn):
+    """Wrap a chain body so the accumulator stays in [-1, 1] every rep.
+
+    CRITICAL honesty guard: components feed ``acc * 1e-20`` into ray
+    origins/angles for the dependence chain. If a component's reduction is
+    unbounded (e.g. summing hit.t, where every MISS contributes 1e30), acc
+    explodes to ~1e30, the perturbation becomes ~1e10, every ray leaves the
+    scene, and the kernel's data-dependent traversal collapses to the
+    empty-scene fast path — measured 4.1 ms vs the true 14.9 ms at 1080p.
+    With |acc| <= 1, acc * 1e-20 is a bit-exact no-op on O(1) origins while
+    remaining an un-hoistable data dependence, so the measured work is the
+    real workload's."""
+    return lambda acc: jnp.sin(fn(acc))
+
+
 def chain_time(fn, n_iters: int) -> float:
     """Seconds per rep of ``fn(acc) -> acc`` via the (1+N)-vs-1 difference."""
+    fn = _bounded(fn)
 
     def chain(reps):
         @jax.jit
@@ -63,6 +79,8 @@ def profile_time(fn, name: str, reps: int = 4) -> dict:
     import json as _json
     import shutil
     import tempfile
+
+    fn = _bounded(fn)
 
     @jax.jit
     def run(x):
@@ -352,6 +370,30 @@ def main() -> None:
 
         return fn
 
+    def tmin(mode):
+        from clraytracer_tpu.ops.shade import initial_bounce_state as _ibs
+
+        def fn(acc):
+            hit = trace_pallas(scene, origin0 + acc * 1e-20, dirs0)
+            t, u, v = hit.t, hit.u, hit.v
+            n = hit.attr_normal
+            if mode == "mix":
+                r = n * t[None] + u[None]
+                return acc * 0.5 + jnp.sum(r) * 1e-6 + jnp.sum(v) * 1e-6
+            if mode == "state":
+                state = _ibs(origin0, dirs0, jnp.float32(-1.96))
+                r = planar.where(
+                    hit.hit, n * t[None] + state.energy, state.atmospheric
+                )
+                return acc * 0.5 + jnp.sum(r) * 1e-6
+            if mode == "norm":
+                nn = planar.normalize(n)
+                r = planar.reflect(dirs0, nn)
+                return acc * 0.5 + jnp.sum(r) * 1e-6 + jnp.sum(t) * 1e-6
+            raise ValueError(mode)
+
+        return fn
+
     def tshade_variant(patches):
         """tshade with named pieces stubbed out (jit-trace-time patches)."""
         import contextlib
@@ -417,6 +459,9 @@ def main() -> None:
         "gather_coh": gather_coh,
         "trace_full": trace_variant("full"),
         "trace_lin": trace_lin,
+        "tmin_mix": tmin("mix"),
+        "tmin_state": tmin("state"),
+        "tmin_norm": tmin("norm"),
         "trace_c_vvmat": trace_consume("vvmat"),
         "trace_c_normal": trace_consume("normal"),
         "trace_c_inst": trace_consume("inst"),
