@@ -156,9 +156,16 @@ def ray_directions_planar(
     rows = row_start + jnp.arange(num_rows, dtype=jnp.float32)
     ys = (rows / height) * 2.0 - 1.0
     cx, cy = jnp.meshgrid(xs, ys, indexing="xy")  # [num_rows, W]
+    return _unproject_grid(inverse_view, inverse_projection, cx, cy)
 
+
+def _unproject_grid(
+    inverse_view: Array, inverse_projection: Array, cx: Array, cy: Array
+) -> Array:
+    """NDC grids → normalized world directions [3, *cx.shape] (the RayGen
+    unprojection, kernel_main.cl:277-287, as explicit sums of products —
+    MXU matmuls of 4x4 matrices are numerically unsafe, see math3d)."""
     ip = inverse_projection
-    # target = (cx, cy, 1, 1) @ invProj, per component
     tx = cx * ip[0, 0] + cy * ip[1, 0] + ip[2, 0] + ip[3, 0]
     ty = cx * ip[0, 1] + cy * ip[1, 1] + ip[2, 1] + ip[3, 1]
     tz = cx * ip[0, 2] + cy * ip[1, 2] + ip[2, 2] + ip[3, 2]
@@ -198,21 +205,42 @@ def ray_directions_linear(
     j = (n // width).astype(jnp.float32)
     cx = (i / width) * 2.0 - 1.0
     cy = (j / height) * 2.0 - 1.0
+    return _unproject_grid(inverse_view, inverse_projection, cx, cy)
 
-    ip = inverse_projection
-    tx = cx * ip[0, 0] + cy * ip[1, 0] + ip[2, 0] + ip[3, 0]
-    ty = cx * ip[0, 1] + cy * ip[1, 1] + ip[2, 1] + ip[3, 1]
-    tz = cx * ip[0, 2] + cy * ip[1, 2] + ip[2, 2] + ip[3, 2]
-    tw = cx * ip[0, 3] + cy * ip[1, 3] + ip[2, 3] + ip[3, 3]
-    inv_w = 1.0 / tw
-    tx, ty, tz = tx * inv_w, ty * inv_w, tz * inv_w
 
-    iv = inverse_view
-    wx = tx * iv[0, 0] + ty * iv[1, 0] + tz * iv[2, 0] + iv[3, 0]
-    wy = tx * iv[0, 1] + ty * iv[1, 1] + tz * iv[2, 1] + iv[3, 1]
-    wz = tx * iv[0, 2] + ty * iv[1, 2] + tz * iv[2, 2] + iv[3, 2]
-    rn = 1.0 / jnp.sqrt(wx * wx + wy * wy + wz * wz)
-    return jnp.stack([wx * rn, wy * rn, wz * rn])
+def ray_directions_tiled(
+    inverse_view: Array,
+    inverse_projection: Array,
+    width: int,
+    height: int,
+    tile_rows: int,
+) -> Array:
+    """Screen-tile-ordered [3, rows, 128] primary-ray directions.
+
+    Row block ``t*tile_rows..(t+1)*tile_rows`` (one Pallas tracer tile)
+    covers the **pixel rectangle** ``[ty*tile_rows, +tile_rows) x
+    [tx*128, +128)`` with ``t = ty*tiles_x + tx`` — a compact square-ish
+    footprint whose ray cone is narrow, so the tracer's per-tile
+    supercluster/cluster culling discards almost everything for empty
+    tiles. The ray-linear scanline order makes each tile a 1920x4-pixel
+    band that crosses the entire image and intersects most of the scene.
+    Rays within a tile and the [rows, 128] shape are unchanged — only the
+    tile→pixel mapping differs; the frame path un-tiles once at the end
+    (a pure reshape/transpose, see render.trace_image).
+
+    Pad lanes (``i >= width`` or ``j >= height``) get valid off-screen
+    directions, so no special handling is needed downstream.
+    """
+    tiles_x = -(-width // 128)
+    rows = -(-height // tile_rows) * tile_rows * tiles_x
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    tile = r // tile_rows
+    i = ((tile % tiles_x) * 128 + lane).astype(jnp.float32)
+    j = ((tile // tiles_x) * tile_rows + r % tile_rows).astype(jnp.float32)
+    cx = (i / width) * 2.0 - 1.0
+    cy = (j / height) * 2.0 - 1.0
+    return _unproject_grid(inverse_view, inverse_projection, cx, cy)
 
 
 def ray_directions(

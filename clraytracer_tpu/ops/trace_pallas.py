@@ -104,22 +104,21 @@ def _make_kernel(
         #   inst(i32 bitcast) | nx | ny | nz | uu | vv | mat_local.
         #   One fused result = one output DMA stream per tile and one HBM
         #   buffer; consumers take contiguous row-block slices (free).
-        #   (Historical note: an apparent 4.1 vs 14.9 ms consumer-dependent
-        #   kernel time led here, but that was a *measurement artifact* —
-        #   unbounded chain accumulators perturbed ray origins by ~1e10 and
-        #   emptied the scene; see tools/perf_breakdown._bounded.)
+        #   The block doubles as the best-hit ACCUMULATOR: phase C updates
+        #   it in place, which lets each leaf batch run under pl.when
+        #   (occlusion skip) — register loop-carries cannot be updated from
+        #   a predicated block.
         sc_scratch,  # SMEM [S_total] i32
+        sk_scratch,  # SMEM [S_total] f32 supercluster min-tnear sort keys
         cl_scratch,  # SMEM [C_total] i32
     ):
         ox_w, oy_w, oz_w = ox_ref[...], oy_ref[...], oz_ref[...]
         dx_w, dy_w, dz_w = dx_ref[...], dy_ref[...], dz_ref[...]
 
-        best_t = jnp.full((ROWS, 128), _BIG, jnp.float32)
-        best_tri = jnp.zeros((ROWS, 128), jnp.int32)
-        best_inst = jnp.zeros((ROWS, 128), jnp.int32)
-        zeros = jnp.zeros((ROWS, 128), jnp.float32)
-        # u, v, nx, ny, nz, uu, vv, mat
-        best_attr = (zeros,) * 8
+        out_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
+        out_ref[ROWS : 11 * ROWS, :] = jnp.zeros(
+            (10 * ROWS, 128), jnp.float32
+        )
 
         for inst in range(n_instances):
             sc0, sc_n, cl0, cl_n = instance_ranges[inst]
@@ -135,9 +134,9 @@ def _make_kernel(
             idy = 1.0 / dy
             idz = 1.0 / dz
 
-            def slab_any(ref, row, bt):
-                """Conservative per-ray slab test of one AABB row; returns
-                scalar 'any ray possibly hits'."""
+            def slab_hits(ref, row, bt):
+                """Conservative per-ray slab test of one AABB row →
+                (hit mask, per-ray tnear)."""
                 t0x = (ref[row, 0] - ox) * idx
                 t1x = (ref[row, 3] - ox) * idx
                 t0y = (ref[row, 1] - oy) * idy
@@ -153,15 +152,42 @@ def _make_kernel(
                     jnp.maximum(t0z, t1z),
                 )
                 hit = (tnear <= tfar) & (tfar > 0.0) & (tnear < bt)
-                return jnp.any(hit)
+                return hit, tnear
+
+            # best_t from previous instances: constant through phases A/B
+            bt_in = out_ref[0:ROWS, :]
 
             # ---- phase A: supercluster culling (static bound) -------------
+            # Survivors carry their min-tnear as a front-to-back sort key.
             def phase_a(s, cnt):
-                hit = slab_any(scab_ref, sc0 + s, best_t)
+                hit, tnear = slab_hits(scab_ref, sc0 + s, bt_in)
                 sc_scratch[cnt] = s
-                return cnt + hit.astype(jnp.int32)
+                sk_scratch[cnt] = jnp.min(jnp.where(hit, tnear, _BIG))
+                return cnt + jnp.any(hit).astype(jnp.int32)
 
             na = jax.lax.fori_loop(0, sc_n, phase_a, jnp.int32(0))
+
+            # ---- front-to-back: bubble-sort survivors by min-tnear --------
+            # na is small (tris/1024); a flat na*(na) scalar compare-swap
+            # pass in SMEM is cheap and gives phase C's occlusion skip its
+            # bite: near superclusters set best_t before far ones are
+            # rechecked. (Nested traced-bound fori crashes Mosaic; the
+            # bubble is one flat loop with j % stride index math.)
+            stride = jnp.maximum(na - 1, 1)
+
+            def sort_pass(j, _):
+                i = j % stride
+                k_i, k_j = sk_scratch[i], sk_scratch[i + 1]
+                s_i, s_j = sc_scratch[i], sc_scratch[i + 1]
+                # never swap a stale entry beyond the survivor count in
+                swap = (k_j < k_i) & (i + 1 < na)
+                sk_scratch[i] = jnp.where(swap, k_j, k_i)
+                sk_scratch[i + 1] = jnp.where(swap, k_i, k_j)
+                sc_scratch[i] = jnp.where(swap, s_j, s_i)
+                sc_scratch[i + 1] = jnp.where(swap, s_i, s_j)
+                return _
+
+            jax.lax.fori_loop(0, na * stride, sort_pass, jnp.int32(0))
 
             # ---- phase B: cluster culling (flat, traced bound) ------------
             def phase_b(j, cnt):
@@ -169,108 +195,148 @@ def _make_kernel(
                 c_local = s * SUPER_SIZE + (j % SUPER_SIZE)
                 valid = c_local < cl_n
                 c = cl0 + jnp.minimum(c_local, cl_n - 1)
-                hit = slab_any(clab_ref, c, best_t) & valid
+                hit, _ = slab_hits(clab_ref, c, bt_in)
                 cl_scratch[cnt] = c
-                return cnt + hit.astype(jnp.int32)
+                return cnt + (jnp.any(hit) & valid).astype(jnp.int32)
 
             nb = jax.lax.fori_loop(0, na * SUPER_SIZE, phase_b, jnp.int32(0))
 
             # ---- phase C: dense leaf batches (flat, traced bound) ---------
+            # Each surviving cluster is recheck-slab-tested against the
+            # RUNNING best_t (which tightens as near clusters land, in
+            # front-to-back supercluster order) and the whole 32-tri batch
+            # is skipped via pl.when when no ray can improve — occluded
+            # back-side geometry costs one slab test instead of 32
+            # Möller-Trumbore batches.
             # Shading attributes are interpolated inline under the same
             # accept mask — the triangle's attrs are in VMEM at static
             # columns, so this replaces a ~5 ms/bounce XLA attribute gather
             # with a few extra scalar loads + FMAs per tested triangle.
             def phase_c(j, carry):
-                bt, btri, binst, battr = carry
                 c = cl_scratch[j]
-                for k in range(CLUSTER_SIZE):
-                    v0x = ta_ref[c, k]
-                    v0y = ta_ref[c, 32 + k]
-                    v0z = ta_ref[c, 64 + k]
-                    e1x = ta_ref[c, 96 + k]
-                    e1y = tb_ref[c, k]
-                    e1z = tb_ref[c, 32 + k]
-                    e2x = tb_ref[c, 64 + k]
-                    e2y = tb_ref[c, 96 + k]
-                    e2z = tc_ref[c, k]
-                    hx = dy * e2z - dz * e2y
-                    hy = dz * e2x - dx * e2z
-                    hz = dx * e2y - dy * e2x
-                    a = e1x * hx + e1y * hy + e1z * hz
-                    f = 1.0 / a
-                    sx = ox - v0x
-                    sy = oy - v0y
-                    sz = oz - v0z
-                    u = f * (sx * hx + sy * hy + sz * hz)
-                    qx = sy * e1z - sz * e1y
-                    qy = sz * e1x - sx * e1z
-                    qz = sx * e1y - sy * e1x
-                    v = f * (dx * qx + dy * qy + dz * qz)
-                    t = f * (e2x * qx + e2y * qy + e2z * qz)
-                    ok = (
-                        (t > 0.0)
-                        & (t < bt)
-                        & (u >= 0.0)
-                        & (u <= 1.0)
-                        & (v >= 0.0)
-                        & (u + v <= 1.0)
+                bt_run = out_ref[0:ROWS, :]
+                any_live, _ = slab_hits(clab_ref, c, bt_run)
+
+                @pl.when(jnp.any(any_live))
+                def _batch():
+                    bt = bt_run
+                    btri = jax.lax.bitcast_convert_type(
+                        out_ref[3 * ROWS : 4 * ROWS, :], jnp.int32
                     )
-                    bt = jnp.where(ok, t, bt)
-                    slot = c * CLUSTER_SIZE + k
-                    btri = jnp.where(ok, slot, btri)
-                    binst = jnp.where(ok, jnp.int32(inst), binst)
+                    binst = jax.lax.bitcast_convert_type(
+                        out_ref[4 * ROWS : 5 * ROWS, :], jnp.int32
+                    )
                     if variant == "geom":
-                        continue
-                    if variant == "noattr":
-                        bu, bv = battr[0], battr[1]
+                        battr = ()
+                    elif variant == "noattr":
                         battr = (
-                            jnp.where(ok, u, bu), jnp.where(ok, v, bv),
-                        ) + battr[2:]
-                        continue
-                    # attribute interpolation (same expression tree as the
-                    # XLA path in shade_hits → bit-identical): w0*a0+u*a1+v*a2
-                    w0 = 1.0 - u - v
-                    n0x = aa_ref[c, k]
-                    n0y = aa_ref[c, 32 + k]
-                    n0z = aa_ref[c, 64 + k]
-                    n1x = aa_ref[c, 96 + k]
-                    n1y = ab_ref[c, k]
-                    n1z = ab_ref[c, 32 + k]
-                    n2x = ab_ref[c, 64 + k]
-                    n2y = ab_ref[c, 96 + k]
-                    n2z = ac_ref[c, k]
-                    uv0u = ac_ref[c, 32 + k]
-                    uv0v = ac_ref[c, 64 + k]
-                    uv1u = ac_ref[c, 96 + k]
-                    uv1v = ad_ref[c, k]
-                    uv2u = ad_ref[c, 32 + k]
-                    uv2v = ad_ref[c, 64 + k]
-                    matl = ad_ref[c, 96 + k]
-                    bu, bv, nx, ny, nz, uu, vv, mat = battr
-                    battr = (
-                        jnp.where(ok, u, bu),
-                        jnp.where(ok, v, bv),
-                        jnp.where(ok, n0x * w0 + n1x * u + n2x * v, nx),
-                        jnp.where(ok, n0y * w0 + n1y * u + n2y * v, ny),
-                        jnp.where(ok, n0z * w0 + n1z * u + n2z * v, nz),
-                        jnp.where(ok, uv0u * w0 + uv1u * u + uv2u * v, uu),
-                        jnp.where(ok, uv0v * w0 + uv1v * u + uv2v * v, vv),
-                        jnp.where(ok, matl, mat),
+                            out_ref[ROWS : 2 * ROWS, :],
+                            out_ref[2 * ROWS : 3 * ROWS, :],
+                        )
+                    else:
+                        battr = (
+                            out_ref[ROWS : 2 * ROWS, :],
+                            out_ref[2 * ROWS : 3 * ROWS, :],
+                            out_ref[5 * ROWS : 6 * ROWS, :],
+                            out_ref[6 * ROWS : 7 * ROWS, :],
+                            out_ref[7 * ROWS : 8 * ROWS, :],
+                            out_ref[8 * ROWS : 9 * ROWS, :],
+                            out_ref[9 * ROWS : 10 * ROWS, :],
+                            out_ref[10 * ROWS : 11 * ROWS, :],
+                        )
+                    for k in range(CLUSTER_SIZE):
+                        v0x = ta_ref[c, k]
+                        v0y = ta_ref[c, 32 + k]
+                        v0z = ta_ref[c, 64 + k]
+                        e1x = ta_ref[c, 96 + k]
+                        e1y = tb_ref[c, k]
+                        e1z = tb_ref[c, 32 + k]
+                        e2x = tb_ref[c, 64 + k]
+                        e2y = tb_ref[c, 96 + k]
+                        e2z = tc_ref[c, k]
+                        hx = dy * e2z - dz * e2y
+                        hy = dz * e2x - dx * e2z
+                        hz = dx * e2y - dy * e2x
+                        a = e1x * hx + e1y * hy + e1z * hz
+                        f = 1.0 / a
+                        sx = ox - v0x
+                        sy = oy - v0y
+                        sz = oz - v0z
+                        u = f * (sx * hx + sy * hy + sz * hz)
+                        qx = sy * e1z - sz * e1y
+                        qy = sz * e1x - sx * e1z
+                        qz = sx * e1y - sy * e1x
+                        v = f * (dx * qx + dy * qy + dz * qz)
+                        t = f * (e2x * qx + e2y * qy + e2z * qz)
+                        ok = (
+                            (t > 0.0)
+                            & (t < bt)
+                            & (u >= 0.0)
+                            & (u <= 1.0)
+                            & (v >= 0.0)
+                            & (u + v <= 1.0)
+                        )
+                        bt = jnp.where(ok, t, bt)
+                        slot = c * CLUSTER_SIZE + k
+                        btri = jnp.where(ok, slot, btri)
+                        binst = jnp.where(ok, jnp.int32(inst), binst)
+                        if variant == "geom":
+                            continue
+                        if variant == "noattr":
+                            battr = (
+                                jnp.where(ok, u, battr[0]),
+                                jnp.where(ok, v, battr[1]),
+                            )
+                            continue
+                        # attribute interpolation (same expression tree as
+                        # the XLA path in shade_hits → bit-identical):
+                        # w0*a0 + u*a1 + v*a2
+                        w0 = 1.0 - u - v
+                        n0x = aa_ref[c, k]
+                        n0y = aa_ref[c, 32 + k]
+                        n0z = aa_ref[c, 64 + k]
+                        n1x = aa_ref[c, 96 + k]
+                        n1y = ab_ref[c, k]
+                        n1z = ab_ref[c, 32 + k]
+                        n2x = ab_ref[c, 64 + k]
+                        n2y = ab_ref[c, 96 + k]
+                        n2z = ac_ref[c, k]
+                        uv0u = ac_ref[c, 32 + k]
+                        uv0v = ac_ref[c, 64 + k]
+                        uv1u = ac_ref[c, 96 + k]
+                        uv1v = ad_ref[c, k]
+                        uv2u = ad_ref[c, 32 + k]
+                        uv2v = ad_ref[c, 64 + k]
+                        matl = ad_ref[c, 96 + k]
+                        bu, bv, nx, ny, nz, uu, vv, mat = battr
+                        battr = (
+                            jnp.where(ok, u, bu),
+                            jnp.where(ok, v, bv),
+                            jnp.where(ok, n0x * w0 + n1x * u + n2x * v, nx),
+                            jnp.where(ok, n0y * w0 + n1y * u + n2y * v, ny),
+                            jnp.where(ok, n0z * w0 + n1z * u + n2z * v, nz),
+                            jnp.where(ok, uv0u * w0 + uv1u * u + uv2u * v, uu),
+                            jnp.where(ok, uv0v * w0 + uv1v * u + uv2v * v, vv),
+                            jnp.where(ok, matl, mat),
+                        )
+                    as_f32 = lambda x: jax.lax.bitcast_convert_type(
+                        x, jnp.float32
                     )
-                return bt, btri, binst, battr
+                    out_ref[0:ROWS, :] = bt
+                    out_ref[3 * ROWS : 4 * ROWS, :] = as_f32(btri)
+                    out_ref[4 * ROWS : 5 * ROWS, :] = as_f32(binst)
+                    if variant != "geom":
+                        out_ref[ROWS : 2 * ROWS, :] = battr[0]
+                        out_ref[2 * ROWS : 3 * ROWS, :] = battr[1]
+                    if variant == "full":
+                        for fk, val in enumerate(battr[2:]):
+                            out_ref[
+                                (5 + fk) * ROWS : (6 + fk) * ROWS, :
+                            ] = val
 
-            best_t, best_tri, best_inst, best_attr = jax.lax.fori_loop(
-                0, nb, phase_c, (best_t, best_tri, best_inst, best_attr)
-            )
+                return carry
 
-        as_f32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
-        fields = (
-            best_t, best_attr[0], best_attr[1], as_f32(best_tri),
-            as_f32(best_inst), best_attr[2], best_attr[3], best_attr[4],
-            best_attr[5], best_attr[6], best_attr[7],
-        )
-        for k, val in enumerate(fields):
-            out_ref[k * ROWS:(k + 1) * ROWS, :] = val
+            jax.lax.fori_loop(0, nb, phase_c, jnp.int32(0))
 
     return kernel
 
@@ -319,6 +385,7 @@ def _trace_tiles(
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
+            pltpu.SMEM((max(scab.shape[0], 2),), jnp.float32),
             pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
         ],
         interpret=interpret,

@@ -23,6 +23,7 @@ from clraytracer_tpu.camera import (
     ray_directions,
     ray_directions_linear,
     ray_directions_planar,
+    ray_directions_tiled,
 )
 from clraytracer_tpu.config import RenderConfig
 from clraytracer_tpu.ops import planar
@@ -166,24 +167,32 @@ def trace_image(
     """Linear [H, W, 3] radiance before post-processing — the Trace kernel's
     output image (kernel_main.cl:164-275).
 
-    Rays are generated directly in the bounce loop's ray-linear
-    [3, rows, 128] layout (camera.ray_directions_linear), so the whole
-    trace+shade loop runs relayout-free and the [H, W] image layout is
-    materialized exactly once at the end."""
+    Rays are generated directly in **screen-tile order** in the bounce
+    loop's [3, rows, 128] layout (camera.ray_directions_tiled): each Pallas
+    tracer tile covers a compact ``tile_rows x 128`` pixel rectangle, so
+    per-tile culling actually prunes (a scanline-band tile spans the whole
+    image width and intersects most of the scene — measured 15.0 ms vs
+    __ ms/bounce at 1080p). The whole trace+shade loop runs relayout-free;
+    the [H, W] image is materialized exactly once at the end by a pure
+    reshape/transpose."""
     from clraytracer_tpu.ops.trace_pallas import _tile_rows
 
-    n = width * height
-    tile = _tile_rows(n) * 128
-    rows = (-(-n // tile) * tile) // 128
-    dirs = ray_directions_linear(
-        frame.inverse_view, frame.inverse_projection, width, height, rows
-    )  # [3, rows, 128]
+    trows = _tile_rows(width * height)
+    tiles_x = -(-width // 128)
+    tiles_y = -(-height // trows)
+    dirs = ray_directions_tiled(
+        frame.inverse_view, frame.inverse_projection, width, height, trows
+    )  # [3, tiles_y * tiles_x * trows, 128]
     origin = jnp.broadcast_to(frame.camera_position[:, None, None], dirs.shape)
     result = bounce_loop(
         scene, origin, dirs, frame.sun_angle, bounces, tracer,
         reference_parity, integer_colors,
     )
-    img = result.reshape(3, -1)[:, :n].reshape(3, height, width)
+    img = (
+        result.reshape(3, tiles_y, tiles_x, trows, 128)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(3, tiles_y * trows, tiles_x * 128)[:, :height, :width]
+    )
     return planar.to_last(img, (height, width))
 
 

@@ -175,8 +175,15 @@ def main() -> None:
         )
         return acc * 0.5 + jnp.sum(dirs) * 1e-6
 
-    dirs0 = ray_directions_planar(
-        frame.inverse_view, frame.inverse_projection, W, H
+    # standalone trace components use the frame path's screen-tile ray
+    # order — traversal cost is strongly layout-dependent (a scanline-band
+    # tile crosses the whole image and defeats per-tile culling)
+    from clraytracer_tpu.camera import ray_directions_tiled
+    from clraytracer_tpu.ops.trace_pallas import _tile_rows
+
+    dirs0 = ray_directions_tiled(
+        frame.inverse_view, frame.inverse_projection, W, H,
+        _tile_rows(W * H),
     )
     origin0 = jnp.broadcast_to(
         frame.camera_position[:, None, None], dirs0.shape
@@ -296,8 +303,12 @@ def main() -> None:
             jnp.sum(l.astype(jnp.float32)) for l in leaves
         ) * 1e-6
 
-    rows_lin = (H * W) // 128
-    dirs_lin = dirs0.reshape(3, rows_lin, 128)
+    from clraytracer_tpu.camera import ray_directions_linear
+
+    rows_lin = dirs0.shape[1]
+    dirs_lin = ray_directions_linear(
+        frame.inverse_view, frame.inverse_projection, W, H, rows_lin
+    )
     origin_lin = jnp.broadcast_to(
         frame.camera_position[:, None, None], dirs_lin.shape
     )
