@@ -30,13 +30,16 @@ def build_scene(spec: str, tris: int = 4096):
     from clraytracer_tpu import math3d
     from clraytracer_tpu.scene import SceneBuilder
     from clraytracer_tpu.scene.procedural import cube, sphere_field, uv_sphere
-    from clraytracer_tpu.scene.textures import checkerboard, gradient_sky
+    from clraytracer_tpu.scene import procedural_tex as ptex
 
+    # named scenes register their textures as procedural descriptors, which
+    # makes them eligible for the fused render megakernel (the flagship
+    # fast path); OBJ scenes bake stb-style image textures into the atlas
     b = SceneBuilder()
-    b.import_texture(gradient_sky(512, 256))
+    b.import_procedural(ptex.sky_gradient(512, 256))
     if spec == "sphere":
         n_lat = max(4, int((tris / 4) ** 0.5) + 1)
-        checker = b.import_texture(checkerboard(128, 8))
+        checker = b.import_procedural(ptex.checker(128, 8))
         mat = b.create_material(
             albedo=(0.9, 0.6, 0.3), albedo_tex=checker, shininess=1.0, roughness=0.4
         )
@@ -45,7 +48,7 @@ def build_scene(spec: str, tris: int = 4096):
         )
         b.add_instance(mesh)
     elif spec == "two":
-        checker = b.import_texture(checkerboard(64, 8))
+        checker = b.import_procedural(ptex.checker(64, 8))
         m1 = b.create_material(albedo=(0.9, 0.2, 0.2), albedo_tex=checker)
         m2 = b.create_material(albedo=(0.2, 0.9, 0.2))
         s = b.add_mesh(uv_sphere(1.5, 24, 48), materials_start=m1)

@@ -1,0 +1,454 @@
+"""Fused render megakernel: traverse + shade + bounce in ONE Pallas kernel.
+
+The two-phase frame (Pallas traversal → XLA shading fusions, per bounce)
+spends more time in the shading fusion soup than in traversal itself
+(measured at 1080p/2 bounces: kernels 5.9 ms, XLA shading ~13.5 ms — dozens
+of [rows, 128] elementwise passes through HBM). This kernel keeps the whole
+bounce loop in VMEM/registers: per ray tile it traverses (ops/trace_pallas
+phases A/B/C into a VMEM scratch), shades in registers, computes the
+reflection ray, and repeats for the next bounce — writing only the final
+RGB (plus two small miss records) to HBM.
+
+It is the FAST PATH for the reference-parity frame
+(kernel_main.cl:164-275): available when
+
+* shading is reference-parity + integer-colors (the default frame config),
+* every texture is procedural (scene/procedural_tex.py) — texels are then
+  closed-form VPU math, no per-ray pool gather exists at all,
+* the material table is small (static select loop), and
+* the cluster tables fit VMEM (same bound as the tile tracer).
+
+Everything else falls back to the two-phase path (render.bounce_loop).
+
+Parity contract: every shading formula below replicates ops/shade.py's
+expression tree operation-for-operation (same association order, same
+constants chained in f32), so the fused frame matches the two-phase Pallas
+frame to float precision (only compiler FMA-contraction choices may differ
+between the two compilations — measured max 2.4e-7 absolute at 64x48;
+tests/test_trace.py::test_fused_render_matches_two_phase pins it at 1e-5).
+The ONE step evaluated outside the kernel is the
+equirect skybox (jnp.arctan2/arccos — kept in XLA so the transcendental
+implementations match the golden path exactly): the kernel records each
+ray's throughput and direction at its first miss, and `render_fused` adds
+``sky(miss_dir) * miss_energy`` afterwards — misses terminate rays
+(kernel_main.cl:219-224), so one deferred add reproduces the in-loop sum.
+
+Reference citations: Whitted 2-bounce loop kernel_main.cl:183-272; Phong
+block kernel_main.cl:248-271 with the hard-coded specular/roughness
+overrides; miss/sky kernel_main.cl:219-224.
+"""
+
+from __future__ import annotations
+
+import functools
+import types
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from clraytracer_tpu.ops.trace_pallas import (
+    _BIG,
+    VMEM_TABLE_BUDGET,
+    _emit_traversal,
+    _table_bytes,
+    _tile_rows,
+)
+from clraytracer_tpu.ops.trace_ref import _instance_tables
+from clraytracer_tpu.scene.types import Scene
+
+#: static select loops over materials stay cheap only while M is small
+MAX_FUSED_MATERIALS = 64
+
+#: kernel tile height. The fused kernel carries ~30 live [ROWS, 128] f32
+#: registers through shading; 32 rows beats the tracer's 64-row default
+#: (measured 1080p: r8 17.2 / r16 9.4 / r32 5.3 / r64 5.9 ms) — less vreg
+#: spill outweighs the halved scalar-work amortization.
+FUSED_ROWS = 32
+
+_U8 = 1.0 / 255.0
+
+#: jnp front-end for procedural_tex._eval that returns a plain (r, g, b)
+#: tuple instead of a stacked [3, ...] array (Mosaic works in 2-D registers)
+_XP_TUPLE = types.SimpleNamespace(
+    floor=jnp.floor,
+    where=jnp.where,
+    minimum=jnp.minimum,
+    full_like=jnp.full_like,
+    stack=lambda xs: tuple(xs),
+)
+
+
+def _make_render_kernel(
+    instance_ranges: tuple[tuple[int, int, int, int], ...],
+    rows: int,
+    n_materials: int,
+    tex_descs: tuple,  # ((off_hi, off_lo, ProceduralTexture), ...)
+    bounces: int,
+):
+    from clraytracer_tpu.scene.procedural_tex import _eval
+
+    ROWS = rows
+    n_instances = len(instance_ranges)
+
+    def kernel(
+        ox_ref,  # [ROWS, 128] tile primary-ray origin x (world)
+        oy_ref,
+        oz_ref,
+        dx_ref,  # [ROWS, 128] tile primary-ray direction x (world)
+        dy_ref,
+        dz_ref,
+        inst_ref,  # [I, 17] inverse transform (row-major) | material_start
+        mat_ref,  # [M, 16] packed material rows (ops/shade.ShadingTables)
+        sun_ref,  # SMEM [1, 2]: (sin sun_angle, cos sun_angle)
+        scab_ref,  # [S, 8] supercluster AABBs
+        clab_ref,  # [C, 8] cluster AABBs
+        ta_ref,  # [C, 128] triangle geometry (ops/trace_pallas layout)
+        tb_ref,
+        tc_ref,
+        aa_ref,  # [C, 128] shading attributes
+        ab_ref,
+        ac_ref,
+        ad_ref,
+        out_ref,  # [9*ROWS, 128]: result rgb | miss_energy rgb | miss_dir rgb
+        sc_scratch,  # SMEM [S_total] i32
+        sk_scratch,  # SMEM [S_total] f32
+        cl_scratch,  # SMEM [C_total] i32
+        hs_ref,  # VMEM [11*ROWS, 128] per-bounce hit scratch
+    ):
+        zero = jnp.zeros((ROWS, 128), jnp.float32)
+        one = jnp.ones((ROWS, 128), jnp.float32)
+        o = [ox_ref[...], oy_ref[...], oz_ref[...]]
+        d = [dx_ref[...], dy_ref[...], dz_ref[...]]
+        # initial light = sun direction (shade.initial_bounce_state)
+        light = [zero, zero + sun_ref[0, 0], zero + sun_ref[0, 1]]
+        result = [zero, zero, zero]
+        energy = [one, one, one]
+        men = [zero, zero, zero]  # throughput at first miss
+        mdir = [zero, zero, zero]  # direction at first miss
+        alive = jnp.ones((ROWS, 128), jnp.bool_)
+        # per-bounce atmospheric constants: the f32 chain 0.255 * 0.4^b,
+        # replicated in numpy f32 so each bounce's value matches shade_hits'
+        # in-graph f32 multiplies bit-for-bit
+        atm = np.asarray([0.255, 0.25, 0.27], np.float32)
+
+        for _b in range(bounces):
+
+            def traverse(o=o, d=d):
+                _emit_traversal(
+                    (o[0], o[1], o[2], d[0], d[1], d[2]),
+                    hs_ref,
+                    ROWS,
+                    instance_ranges,
+                    "full",
+                    inst_ref,
+                    scab_ref,
+                    clab_ref,
+                    ta_ref,
+                    tb_ref,
+                    tc_ref,
+                    aa_ref,
+                    ab_ref,
+                    ac_ref,
+                    ad_ref,
+                    sc_scratch,
+                    sk_scratch,
+                    cl_scratch,
+                )
+
+            if _b == 0:
+                traverse()
+            else:
+                # whole-tile early out: a tile whose rays all terminated
+                # (e.g. pure-sky tiles after bounce 1) skips traversal
+                # entirely; mark everything missed first so stale bounce-1
+                # hits can't leak through the skip
+                hs_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
+                pl.when(jnp.any(alive))(traverse)
+            t = hs_ref[0:ROWS, :]
+            binst = jax.lax.bitcast_convert_type(
+                hs_ref[4 * ROWS : 5 * ROWS, :], jnp.int32
+            )
+            n_obj = (
+                hs_ref[5 * ROWS : 6 * ROWS, :],
+                hs_ref[6 * ROWS : 7 * ROWS, :],
+                hs_ref[7 * ROWS : 8 * ROWS, :],
+            )
+            uu = hs_ref[8 * ROWS : 9 * ROWS, :]
+            vv = hs_ref[9 * ROWS : 10 * ROWS, :]
+            matl = hs_ref[10 * ROWS : 11 * ROWS, :]
+
+            hit = t < _BIG
+            live = alive & hit
+            miss_now = alive & jnp.logical_not(hit)
+            for c in range(3):
+                men[c] = jnp.where(miss_now, energy[c], men[c])
+                mdir[c] = jnp.where(miss_now, d[c], mdir[c])
+
+            # ---- winning instance: world normal + object-space ray --------
+            # (shade_hits gathers the instance row per ray; here the static
+            # instance loop selects — same multiplies, same rounding)
+            nw = [zero, zero, zero]
+            mo = [zero, zero, zero]
+            md = [zero, zero, zero]
+            mstart = zero
+            for i in range(n_instances):
+                m = [inst_ref[i, c] for c in range(16)]
+                sel = binst == i
+                cand = (
+                    # normal by inverse 3x3 (kernel_main.cl:235-238)
+                    n_obj[0] * m[0] + n_obj[1] * m[4] + n_obj[2] * m[8],
+                    n_obj[0] * m[1] + n_obj[1] * m[5] + n_obj[2] * m[9],
+                    n_obj[0] * m[2] + n_obj[1] * m[6] + n_obj[2] * m[10],
+                    # object-space ray (kernel_main.cl:205-207)
+                    o[0] * m[0] + o[1] * m[4] + o[2] * m[8] + m[12],
+                    o[0] * m[1] + o[1] * m[5] + o[2] * m[9] + m[13],
+                    o[0] * m[2] + o[1] * m[6] + o[2] * m[10] + m[14],
+                    d[0] * m[0] + d[1] * m[4] + d[2] * m[8],
+                    d[0] * m[1] + d[1] * m[5] + d[2] * m[9],
+                    d[0] * m[2] + d[1] * m[6] + d[2] * m[10],
+                )
+                for c in range(3):
+                    nw[c] = jnp.where(sel, cand[c], nw[c])
+                    mo[c] = jnp.where(sel, cand[3 + c], mo[c])
+                    md[c] = jnp.where(sel, cand[6 + c], md[c])
+                mstart = jnp.where(sel, inst_ref[i, 16], mstart)
+
+            # planar.normalize: v / sqrt(dot(v, v)) (NaN on dead lanes is
+            # discarded by the live-masked selects below, as in shade_hits)
+            s = jnp.sqrt(nw[0] * nw[0] + nw[1] * nw[1] + nw[2] * nw[2])
+            n = [nw[0] / s, nw[1] / s, nw[2] / s]
+
+            # ---- material row (static select; mat id is f32-exact) --------
+            mat_idf = mstart + matl
+            alb = [zero, zero, zero]
+            ahi = zero
+            alo = zero
+            for mi in range(n_materials):
+                selm = mat_idf == float(mi)
+                for c in range(3):
+                    alb[c] = jnp.where(selm, mat_ref[mi, c], alb[c])
+                ahi = jnp.where(selm, mat_ref[mi, 10], ahi)
+                alo = jnp.where(selm, mat_ref[mi, 11], alo)
+
+            # ---- procedural texel (static per-descriptor select; selection
+            # by hi/lo-split pool offset, exactly shade._eval_tex_inline) ---
+            texel = [zero, zero, zero]  # byte values [0, 255]
+            for off_hi, off_lo, desc in tex_descs:
+                uw = uu - jnp.floor(uu)
+                ui = jnp.floor(uw * float(desc.width))
+                vw = vv - jnp.floor(vv)
+                vi = jnp.floor(vw * float(desc.height))
+                rgb = _eval(desc, _XP_TUPLE, ui, vi)
+                selt = (ahi == float(off_hi)) & (alo == float(off_lo))
+                for c in range(3):
+                    texel[c] = jnp.where(selt, rgb[c], texel[c])
+
+            # ---- integer color modulate (shade._modulate_bytes; texel is
+            # already exact bytes, so round(texel*255*(1/255)) == texel) ----
+            color = []
+            for c in range(3):
+                mat_b = jnp.round(jnp.clip(alb[c], 0.0, 1.0) * 255.0)
+                color.append(
+                    jnp.floor(mat_b * texel[c] * (1.0 / 256.0)) * _U8
+                )
+
+            # ---- Phong, reference-parity overrides (kernel_main.cl:248-271,
+            # spec 0.2 / rough 0.5 / shininess 1) ---------------------------
+            ndl_raw = (
+                n[0] * (-light[0]) + n[1] * (-light[1]) + n[2] * (-light[2])
+            )
+            amb_m = jnp.maximum(-ndl_raw, 0.1)
+            ndl = jnp.maximum(ndl_raw, 0.0)
+            spec_s = (0.5 * ndl) * ndl  # ((1-rough)*ndl)*shadow*ndl, shadow=1
+            # refl_light = reflect(-light, n); dot(n, -light) == ndl_raw
+            rl = [(-light[c]) - n[c] * (2.0 * ndl_raw) for c in range(3)]
+            rdm = jnp.maximum(
+                rl[0] * md[0] + rl[1] * md[1] + rl[2] * md[2], 0.0
+            )
+            spec_light = (ndl * rdm) * 0.2  # shininess-1 parity: pow skipped
+
+            # next ray: origin = object-space hit point + n*0.01 (the
+            # reference reuses the object-space point as the next world
+            # origin); direction = reflect(d, n)
+            ndd = n[0] * d[0] + n[1] * d[1] + n[2] * d[2]
+            for c in range(3):
+                contrib = (
+                    (energy[c] * color[c]) * ndl
+                    + (float(atm[c]) * color[c]) * amb_m
+                ) + spec_light
+                result[c] = jnp.where(live, result[c] + contrib, result[c])
+                energy[c] = jnp.where(
+                    live, energy[c] * (0.2 * spec_s), energy[c]
+                )
+                new_o = (mo[c] + md[c] * t) + n[c] * 0.01
+                new_d = d[c] - n[c] * (2.0 * ndd)
+                o[c] = jnp.where(live, new_o, o[c])
+                d[c] = jnp.where(live, new_d, d[c])
+                light[c] = jnp.where(live, new_d, light[c])
+            alive = live
+            atm = atm * np.float32(0.4)
+
+        for c in range(3):
+            out_ref[c * ROWS : (c + 1) * ROWS, :] = result[c]
+            out_ref[(3 + c) * ROWS : (4 + c) * ROWS, :] = men[c]
+            out_ref[(6 + c) * ROWS : (7 + c) * ROWS, :] = mdir[c]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("instance_ranges", "rows", "tex_descs", "bounces"),
+)
+def _render_tiles(
+    rays6: tuple[Array, ...],  # 6 x [T, ROWS, 128]
+    inst_rows: Array,  # [I, 17]
+    mat_rows: Array,  # [M, 16]
+    sun: Array,  # [1, 2] f32 (sin, cos)
+    scab: Array,
+    clab: Array,
+    tri_a: Array,
+    tri_b: Array,
+    tri_c: Array,
+    at_a: Array,
+    at_b: Array,
+    at_c: Array,
+    at_d: Array,
+    instance_ranges: tuple[tuple[int, int, int, int], ...],
+    rows: int,
+    tex_descs: tuple,
+    bounces: int,
+):
+    n_tiles = rays6[0].shape[0]
+    ROWS = rows
+    kernel = _make_render_kernel(
+        instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces
+    )
+    interpret = jax.default_backend() != "tpu"
+    tile_spec = pl.BlockSpec(
+        (None, ROWS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((None, 9 * ROWS, 128), lambda i: (i, 0, 0))
+    big = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 9 * ROWS, 128), jnp.float32),
+        in_specs=[tile_spec] * 6 + [full, full, smem] + [full] * 9,
+        out_specs=out_spec,
+        scratch_shapes=[
+            pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
+            pltpu.SMEM((max(scab.shape[0], 2),), jnp.float32),
+            pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
+            pltpu.VMEM((11 * ROWS, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        *rays6, inst_rows, mat_rows, sun, scab, clab,
+        tri_a, tri_b, tri_c, at_a, at_b, at_c, at_d,
+    )
+    fld3 = lambda k: big[:, k * ROWS : (k + 3) * ROWS, :]
+    return fld3(0), fld3(3), fld3(6)  # result, miss_energy, miss_dir blocks
+
+
+def fused_path_available(scene: Scene, reference_parity: bool,
+                         integer_colors: bool) -> bool:
+    """Static eligibility of the fused megakernel for this scene/config."""
+    from clraytracer_tpu.ops.shade import _all_procedural
+
+    return (
+        reference_parity
+        and integer_colors
+        and scene.packed is not None
+        and scene.clusters is not None
+        and _table_bytes(scene.clusters) <= VMEM_TABLE_BUDGET
+        and scene.materials.count <= MAX_FUSED_MATERIALS
+        and _all_procedural(scene)
+    )
+
+
+def render_fused(
+    scene: Scene,
+    origin: Array,  # [3, rows, 128] ray-linear (screen-tile order)
+    direction: Array,  # [3, rows, 128]
+    sun_angle: Array,
+    bounces: int,
+    rows: int | None = None,
+) -> Array:
+    """Full bounce loop in one kernel → [3, rows, 128] radiance (pre-post).
+
+    Callers must check :func:`fused_path_available` first. ``rows`` overrides
+    the kernel tile height (must divide the caller's screen-tile rows: a
+    64-row screen tile processed as two 32-row kernel tiles still covers
+    two stacked 32x128-PIXEL rectangles, so culling locality is preserved).
+    """
+    from clraytracer_tpu.ops.shade import (
+        _OFF_SHIFT,
+        _eval_skybox_inline,
+        _skybox_index,
+    )
+
+    rows_total = origin.shape[1]
+    n = rows_total * 128
+    ROWS = rows if rows is not None else min(FUSED_ROWS, _tile_rows(n))
+    while rows is None and rows_total % ROWS:
+        ROWS //= 2  # rows_total is a multiple of 8, so this terminates
+    n_tiles = rows_total // ROWS
+    assert n_tiles * ROWS == rows_total, (rows_total, ROWS)
+
+    clusters = scene.clusters
+    mesh_idx, _, _, _ = _instance_tables(scene)
+    ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
+    tex_descs = tuple(
+        (off >> _OFF_SHIFT, off & ((1 << _OFF_SHIFT) - 1), desc)
+        for _h, off, desc in scene.procedural_tex
+    )
+
+    rays6 = tuple(
+        origin[c].reshape(n_tiles, ROWS, 128) for c in range(3)
+    ) + tuple(direction[c].reshape(n_tiles, ROWS, 128) for c in range(3))
+    sun = jnp.stack(
+        [jnp.sin(sun_angle), jnp.cos(sun_angle)]
+    ).astype(jnp.float32).reshape(1, 2)
+
+    res, men, mdir = _render_tiles(
+        rays6,
+        scene.packed.inst_rows,
+        scene.packed.mat_rows,
+        sun,
+        clusters.super_aabb,
+        clusters.cluster_aabb,
+        clusters.tri_a,
+        clusters.tri_b,
+        clusters.tri_c,
+        clusters.at_a,
+        clusters.at_b,
+        clusters.at_c,
+        clusters.at_d,
+        ranges,
+        ROWS,
+        tex_descs,
+        bounces,
+    )
+
+    def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
+        return (
+            x.reshape(n_tiles, 3, ROWS, 128)
+            .transpose(1, 0, 2, 3)
+            .reshape(3, rows_total, 128)
+        )
+
+    res, men, mdir = untile3(res), untile3(men), untile3(mdir)
+
+    # deferred skybox: XLA-side arctan2/arccos keep bit-parity with the
+    # two-phase/golden paths; misses terminate rays, so one add suffices
+    pk = scene.packed
+    sky_idx = _skybox_index(pk.skybox_w, pk.skybox_h, pk.skybox_off, mdir)
+    sky = _eval_skybox_inline(scene, sky_idx, pk.skybox_w, pk.skybox_off)
+    return res + sky * men

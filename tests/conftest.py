@@ -74,6 +74,27 @@ def two_instance_scene():
     return b.build()
 
 
+@pytest.fixture(scope="session")
+def procedural_scene():
+    """Two-instance scene whose textures are all procedural descriptors —
+    qualifies for the fused render megakernel (ops/render_pallas.py)."""
+    from clraytracer_tpu import math3d
+    from clraytracer_tpu.scene import SceneBuilder
+    from clraytracer_tpu.scene.procedural import cube, uv_sphere
+    from clraytracer_tpu.scene import procedural_tex as ptex
+
+    b = SceneBuilder()
+    b.import_procedural(ptex.sky_gradient(256, 128))
+    checker = b.import_procedural(ptex.checker(64, 8))
+    m1 = b.create_material(albedo=(0.9, 0.2, 0.2), albedo_tex=checker)
+    m2 = b.create_material(albedo=(0.2, 0.9, 0.2))
+    s1 = b.add_mesh(uv_sphere(1.5, 8, 12), materials_start=m1)
+    s2 = b.add_mesh(cube(1.0), materials_start=m2)
+    b.add_instance(s1, math3d.translation(-2.0, 1.0, 0.0))
+    b.add_instance(s2, math3d.rotation_y(0.7) @ math3d.translation(2.5, 0.5, -1.0))
+    return b.build()
+
+
 @pytest.fixture()
 def rng():
     return np.random.default_rng(0)

@@ -254,3 +254,39 @@ def test_pallas_large_scene_falls_back_to_wavefront(sphere_scene, monkeypatch):
     assert hp.attr_normal is None  # wavefront path: no kernel attrs
     hw = trace_wavefront(sphere_scene, o, d)
     assert_hits_match(hw, hp)
+
+
+def test_fused_render_matches_two_phase(procedural_scene, monkeypatch):
+    """The fused megakernel (trace+shade+bounce in one Pallas kernel) must
+    reproduce the two-phase pallas frame to float precision (same expression
+    trees; only compiler FMA-contraction choices may differ)."""
+    from clraytracer_tpu.ops import render_pallas as rp
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
+
+    assert rp.fused_path_available(procedural_scene, True, True)
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), 64, 48)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
+    img_f = np.asarray(
+        trace_image(procedural_scene, frame, 64, 48, tracer=trace_pallas)
+    )
+    monkeypatch.setattr(rp, "fused_path_available", lambda *a: False)
+    img_2 = np.asarray(
+        trace_image(procedural_scene, frame, 64, 48, tracer=trace_pallas)
+    )
+    np.testing.assert_allclose(img_f, img_2, atol=1e-5)
+
+
+def test_fused_render_matches_brute(procedural_scene):
+    """Fused frame vs the golden brute-force tracer + gather shading."""
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
+
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), 48, 32)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
+    img_b = np.asarray(
+        trace_image(procedural_scene, frame, 48, 32, tracer=trace_brute)
+    )
+    img_f = np.asarray(
+        trace_image(procedural_scene, frame, 48, 32, tracer=trace_pallas)
+    )
+    close = np.isclose(img_b, img_f, atol=1e-3).all(axis=-1)
+    assert close.mean() > 0.99  # seam-tie pixels may shade differently

@@ -193,6 +193,20 @@ def main() -> None:
         hit = trace_pallas(scene, origin0 + acc * 1e-20, dirs0)
         return acc * 0.5 + jnp.sum(hit.t) * 1e-6 + jnp.sum(hit.u) * 1e-6
 
+    def frame_fused_rows(rows):
+        """Fused megakernel with an explicit kernel tile height (vreg
+        pressure vs scalar-amortization sweep)."""
+        from clraytracer_tpu.ops.render_pallas import render_fused
+
+        def fn(acc):
+            res = render_fused(
+                scene, origin0 + acc * 1e-20, dirs0,
+                jnp.float32(-1.96), 2, rows=rows,
+            )
+            return acc * 0.5 + jnp.sum(res) * 1e-6
+
+        return fn
+
     def frame_fn(bounces, post):
         cfg = RenderConfig(width=W, height=H, bounces=bounces, enable_post=post)
 
@@ -501,6 +515,10 @@ def main() -> None:
         "frame_planar_b2": frame_planar(2),
         "texel_gather": texel_gather,
         "tri_take": tri_take,
+        "fused_r8": frame_fused_rows(8),
+        "fused_r16": frame_fused_rows(16),
+        "fused_r32": frame_fused_rows(32),
+        "fused_r64": frame_fused_rows(64),
         "frame_b1": frame_fn(1, False),
         "frame_b2": frame_fn(2, False),
         "frame_post": frame_fn(2, True),
