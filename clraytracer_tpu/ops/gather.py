@@ -75,6 +75,14 @@ def onehot_rows(table: Array, idx: Array) -> Array:
     """
     num_rows, width = table.shape
     flat = jnp.clip(idx.reshape(-1), 0, num_rows - 1)
+
+    if jax.default_backend() != "tpu":
+        # CPU/GPU: f32 dots are exact (no MXU rounding) and the CPU runtime
+        # has no bf16 x bf16 = f32 dot thunk at some shapes — one plane does.
+        oh32 = jax.nn.one_hot(flat, num_rows, dtype=jnp.float32)
+        out = oh32 @ table.astype(jnp.float32)
+        return out.T.reshape((width,) + idx.shape)
+
     oh = jax.nn.one_hot(flat, num_rows, dtype=jnp.bfloat16)
 
     t = table.astype(jnp.float32)

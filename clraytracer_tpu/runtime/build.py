@@ -12,7 +12,7 @@ from pathlib import Path
 from clraytracer_tpu.utils.logging import get_logger
 
 _NATIVE_DIR = Path(__file__).parent / "native"
-_SOURCES = ["objparse.cpp", "bvh_native.cpp"]
+_SOURCES = ["objparse.cpp", "bvh_native.cpp", "qlz.cpp"]
 
 _lib: ctypes.CDLL | None = None
 _tried = False

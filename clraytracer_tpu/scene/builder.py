@@ -179,6 +179,8 @@ class SceneBuilder:
     def import_mesh(self, path: str | Path, use_cache: bool = True) -> int:
         """Import an OBJ/cached mesh and register its materials + textures
         (reference ImportMesh, ResourceManager.cpp:241-276)."""
+        from clraytracer_tpu.scene.clm import resolve_asset_path
+
         path = Path(path)
         obj = mesh_cache.import_mesh(path, use_cache=use_cache)
         mat_start = len(self._materials) if obj.materials else 0
@@ -186,14 +188,18 @@ class SceneBuilder:
             albedo_tex = WHITE_TEXTURE
             specular_tex = WHITE_TEXTURE
             if om.diffuse_map:
-                tex_path = path.parent / om.diffuse_map
-                if tex_path.exists():
+                # .clm/.mtl paths may be project-root relative and in Windows
+                # case ("Assets/sponza/01_ST_KP.JPG") — resolve both forms.
+                tex_path = resolve_asset_path(path.parent, om.diffuse_map)
+                if tex_path is not None:
                     albedo_tex = self.import_texture(tex_path)
                 else:
-                    get_logger().warning("missing diffuse map %s", tex_path)
+                    get_logger().warning(
+                        "missing diffuse map %s (near %s)", om.diffuse_map, path
+                    )
             if om.specular_map:
-                tex_path = path.parent / om.specular_map
-                if tex_path.exists():
+                tex_path = resolve_asset_path(path.parent, om.specular_map)
+                if tex_path is not None:
                     specular_tex = self.import_texture(tex_path)
             self.create_material(
                 albedo=tuple(om.diffuse),

@@ -98,8 +98,20 @@ def load_mesh_cache(cache_path: str | Path) -> ObjMesh | None:
 
 
 def import_mesh(path: str | Path, use_cache: bool = True) -> ObjMesh:
-    """Import an OBJ, preferring a fresh binary cache when available."""
+    """Import an OBJ, preferring a fresh binary cache when available.
+
+    Also accepts the reference's ``.clm`` caches directly, and falls back to
+    a sibling ``.clm`` when the OBJ itself is absent — the reference ships
+    its big scenes (sponza/sibenik/nanosuit) as ``.clm`` only
+    (AssetManager_ImportMesh, AssetManager.cpp:363-380)."""
+    from clraytracer_tpu.scene.clm import load_clm
+
     path = Path(path)
+    if path.suffix.lower() == ".clm":
+        return load_clm(path)
+    clm_path = path.with_suffix(".clm")
+    if not path.exists() and clm_path.exists():
+        return load_clm(clm_path)
     cache_path = path.with_suffix(CACHE_SUFFIX)
     if use_cache and cache_path.exists():
         if not path.exists() or cache_path.stat().st_mtime >= path.stat().st_mtime:
