@@ -133,6 +133,81 @@ def fxaa(img: Array) -> Array:
     return jnp.where(use_a[..., None], rgb_a, rgb_b)
 
 
+def _post_core(p: Array, vig: Array | None) -> Array:
+    """saturation → Reinhard → merged pow over planar [3, *spatial] pixels.
+
+    ``vig`` is an optional [*spatial] multiplicative vignette mask. The
+    per-pixel expression tree is layout-independent, so every caller
+    ([3, N], [3, H, W], or the render loop's [3, rows, 128] tile layout)
+    produces bit-identical values for the same pixel."""
+    # saturation (MathAndSTL.cl:154-158)
+    piv = jnp.sqrt(
+        p[0] * p[0] * 0.299 + p[1] * p[1] * 0.587 + p[2] * p[2] * 0.114
+    )
+    p = piv[None] + (p - piv[None]) * 1.2
+
+    # Reinhard luminance rescale (MathAndSTL.cl:143-148)
+    l_old = p[0] * 0.2126 + p[1] * 0.7152 + p[2] * 0.0722
+    l_new = l_old * (1.0 + l_old / (_MAX_WHITE * _MAX_WHITE)) / (1.0 + l_old)
+    p = p * (l_new / jnp.where(l_old == 0.0, 1.0, l_old))[None]
+
+    # merged reinhard-gamma pow (1/1.55 then 1/1.2)
+    p = jnp.power(jnp.maximum(p, 0.0), 1.0 / (1.55 * 1.2))
+
+    if vig is not None:
+        p = p * vig[None]
+    return p
+
+
+def _vignette_factors(n: int, size: int) -> Array:
+    """Per-coordinate separable vignette factor:
+    (x*(1-x)*sqrt(15))^0.15 for x = arange(n)/size."""
+    x = jnp.arange(n, dtype=jnp.float32) / size
+    return jnp.power(jnp.maximum(x * (1.0 - x) * jnp.sqrt(15.0), 0.0), 0.15)
+
+
+def vignette_mask_tiled(
+    width: int, height: int, trows: int, tiles_x: int, rows_total: int
+) -> Array:
+    """[rows_total, 128] vignette mask in the render loop's screen-tile
+    layout (camera.ray_directions_tiled's tile→pixel mapping). Pad lanes
+    (pixel outside the image) get u*(1-u) <= 0 → mask 0; they are cropped
+    by the caller's untile."""
+    import jax
+
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows_total, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows_total, 128), 1)
+    tile = r // trows
+    px = ((tile % tiles_x) * 128 + lane).astype(jnp.float32)
+    py = ((tile // tiles_x) * trows + r % trows).astype(jnp.float32)
+    u = px / width
+    v = py / height
+    fu = jnp.power(jnp.maximum(u * (1.0 - u) * jnp.sqrt(15.0), 0.0), 0.15)
+    fv = jnp.power(jnp.maximum(v * (1.0 - v) * jnp.sqrt(15.0), 0.0), 0.15)
+    return fu * fv
+
+
+def post_process_tiled(
+    p: Array,  # [3, rows_total, 128] screen-tile-ordered radiance
+    width: int,
+    height: int,
+    trows: int,
+    tiles_x: int,
+    enable_vignette: bool = True,
+) -> Array:
+    """Post chain directly on the render loop's [3, rows, 128] tile layout —
+    no [H, W, 3] relayout before the elementwise pass (the interleaved
+    round-trip costs two full-image transposes per frame at 1080p). FXAA
+    needs cross-pixel neighbours and is not available here; callers with
+    ``enable_fxaa`` use :func:`post_process` on the untiled image."""
+    vig = (
+        vignette_mask_tiled(width, height, trows, tiles_x, p.shape[1])
+        if enable_vignette
+        else None
+    )
+    return _post_core(p, vig)
+
+
 def post_process(
     img: Array, enable_fxaa: bool = False, enable_vignette: bool = True
 ) -> Array:
@@ -149,26 +224,12 @@ def post_process(
         img = fxaa(img)
     p = img.reshape(-1, 3).T  # [3, N]
 
-    # saturation (MathAndSTL.cl:154-158)
-    piv = jnp.sqrt(
-        p[0] * p[0] * 0.299 + p[1] * p[1] * 0.587 + p[2] * p[2] * 0.114
-    )
-    p = piv[None] + (p - piv[None]) * 1.2
-
-    # Reinhard luminance rescale (MathAndSTL.cl:143-148)
-    l_old = p[0] * 0.2126 + p[1] * 0.7152 + p[2] * 0.0722
-    l_new = l_old * (1.0 + l_old / (_MAX_WHITE * _MAX_WHITE)) / (1.0 + l_old)
-    p = p * (l_new / jnp.where(l_old == 0.0, 1.0, l_old))[None]
-
-    # merged reinhard-gamma pow (1/1.55 then 1/1.2)
-    p = jnp.power(jnp.maximum(p, 0.0), 1.0 / (1.55 * 1.2))
-
+    vig = None
     if enable_vignette:
         # vignette is separable: (fu*fv*15)^0.15 = (fu*sqrt(15))^0.15 * (fv*sqrt(15))^0.15
-        u = jnp.arange(w, dtype=jnp.float32) / w
-        v = jnp.arange(h, dtype=jnp.float32) / h
-        fu = jnp.power(jnp.maximum(u * (1.0 - u) * jnp.sqrt(15.0), 0.0), 0.15)
-        fv = jnp.power(jnp.maximum(v * (1.0 - v) * jnp.sqrt(15.0), 0.0), 0.15)
-        p = p * (fv[:, None] * fu[None, :]).reshape(-1)[None]
+        fu = _vignette_factors(w, w)
+        fv = _vignette_factors(h, h)
+        vig = (fv[:, None] * fu[None, :]).reshape(-1)
 
+    p = _post_core(p, vig)
     return p.T.reshape(h, w, 3)

@@ -89,41 +89,77 @@ def _make_render_kernel(
     n_materials: int,
     tex_descs: tuple,  # ((off_hi, off_lo, ProceduralTexture), ...)
     bounces: int,
+    cam: tuple[int, int, int, int] | None = None,
 ):
+    """``cam = (trows, tiles_x, width, height)`` selects in-kernel raygen:
+    instead of six [ROWS, 128] ray inputs streamed from HBM, the kernel
+    receives one SMEM row of camera state (invProj | invView | position) and
+    reconstructs each lane's primary ray from its pixel coordinates (the
+    RayGen unprojection, kernel_main.cl:277-287, same expression order as
+    camera._unproject_grid) — zero per-ray input traffic for the frame."""
     from clraytracer_tpu.scene.procedural_tex import _eval
 
     ROWS = rows
     n_instances = len(instance_ranges)
 
-    def kernel(
-        ox_ref,  # [ROWS, 128] tile primary-ray origin x (world)
-        oy_ref,
-        oz_ref,
-        dx_ref,  # [ROWS, 128] tile primary-ray direction x (world)
-        dy_ref,
-        dz_ref,
-        inst_ref,  # [I, 17] inverse transform (row-major) | material_start
-        mat_ref,  # [M, 16] packed material rows (ops/shade.ShadingTables)
-        sun_ref,  # SMEM [1, 2]: (sin sun_angle, cos sun_angle)
-        scab_ref,  # [S, 8] supercluster AABBs
-        clab_ref,  # [C, 8] cluster AABBs
-        ta_ref,  # [C, 128] triangle geometry (ops/trace_pallas layout)
-        tb_ref,
-        tc_ref,
-        aa_ref,  # [C, 128] shading attributes
-        ab_ref,
-        ac_ref,
-        ad_ref,
-        out_ref,  # [9*ROWS, 128]: result rgb | miss_energy rgb | miss_dir rgb
-        sc_scratch,  # SMEM [S_total] i32
-        sk_scratch,  # SMEM [S_total] f32
-        cl_scratch,  # SMEM [C_total] i32
-        hs_ref,  # VMEM [11*ROWS, 128] per-bounce hit scratch
-    ):
+    def kernel(*refs):
+        if cam is None:
+            # [ROWS, 128] tile primary-ray origin xyz + direction xyz (world)
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = refs[:6]
+            rest = refs[6:]
+        else:
+            cam_ref = refs[0]  # SMEM [1, 35]: invProj(16) | invView(16) | pos(3)
+            rest = refs[1:]
+        (
+            inst_ref,  # [I, 17] inverse transform (row-major) | material_start
+            mat_ref,  # [M, 16] packed material rows (ops/shade.ShadingTables)
+            sun_ref,  # SMEM [1, 2]: (sin sun_angle, cos sun_angle)
+            scab_ref,  # [S, 8] supercluster AABBs
+            clab_ref,  # [C, 8] cluster AABBs
+            ta_ref,  # [C, 128] triangle geometry (ops/trace_pallas layout)
+            tb_ref,
+            tc_ref,
+            aa_ref,  # [C, 128] shading attributes
+            ab_ref,
+            ac_ref,
+            ad_ref,
+            out_ref,  # [9*ROWS, 128]: result rgb | miss_energy rgb | miss_dir rgb
+            sc_scratch,  # SMEM [S_total] i32
+            sk_scratch,  # SMEM [S_total] f32
+            cl_scratch,  # SMEM [C_total] i32
+            hs_ref,  # VMEM [11*ROWS, 128] per-bounce hit scratch
+        ) = rest
         zero = jnp.zeros((ROWS, 128), jnp.float32)
         one = jnp.ones((ROWS, 128), jnp.float32)
-        o = [ox_ref[...], oy_ref[...], oz_ref[...]]
-        d = [dx_ref[...], dy_ref[...], dz_ref[...]]
+        if cam is None:
+            o = [ox_ref[...], oy_ref[...], oz_ref[...]]
+            d = [dx_ref[...], dy_ref[...], dz_ref[...]]
+        else:
+            # ---- in-kernel raygen: tile index → pixel rect → unproject ----
+            trows, tiles_x, width, height = cam
+            r = pl.program_id(0) * ROWS + jax.lax.broadcasted_iota(
+                jnp.int32, (ROWS, 128), 0
+            )
+            lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+            tile = r // trows
+            px = ((tile % tiles_x) * 128 + lane).astype(jnp.float32)
+            py = ((tile // tiles_x) * trows + r % trows).astype(jnp.float32)
+            cx = (px / width) * 2.0 - 1.0
+            cy = (py / height) * 2.0 - 1.0
+            ip = [cam_ref[0, k] for k in range(16)]
+            iv = [cam_ref[0, 16 + k] for k in range(16)]
+            tx = cx * ip[0] + cy * ip[4] + ip[8] + ip[12]
+            ty = cx * ip[1] + cy * ip[5] + ip[9] + ip[13]
+            tz = cx * ip[2] + cy * ip[6] + ip[10] + ip[14]
+            tw = cx * ip[3] + cy * ip[7] + ip[11] + ip[15]
+            inv_w = 1.0 / tw
+            tx, ty, tz = tx * inv_w, ty * inv_w, tz * inv_w
+            wx = tx * iv[0] + ty * iv[4] + tz * iv[8] + iv[12]
+            wy = tx * iv[1] + ty * iv[5] + tz * iv[9] + iv[13]
+            wz = tx * iv[2] + ty * iv[6] + tz * iv[10] + iv[14]
+            rn = 1.0 / jnp.sqrt(wx * wx + wy * wy + wz * wz)
+            d = [wx * rn, wy * rn, wz * rn]
+            o = [zero + cam_ref[0, 32 + c] for c in range(3)]
         # initial light = sun direction (shade.initial_bounce_state)
         light = [zero, zero + sun_ref[0, 0], zero + sun_ref[0, 1]]
         result = [zero, zero, zero]
@@ -303,10 +339,13 @@ def _make_render_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("instance_ranges", "rows", "tex_descs", "bounces"),
+    static_argnames=(
+        "instance_ranges", "rows", "tex_descs", "bounces", "cam", "n_tiles",
+    ),
 )
 def _render_tiles(
-    rays6: tuple[Array, ...],  # 6 x [T, ROWS, 128]
+    rays6: tuple[Array, ...],  # 6 x [T, ROWS, 128]; () in camera mode
+    cam_vec: Array | None,  # [1, 35] invProj|invView|pos; None in ray mode
     inst_rows: Array,  # [I, 17]
     mat_rows: Array,  # [M, 16]
     sun: Array,  # [1, 2] f32 (sin, cos)
@@ -323,11 +362,14 @@ def _render_tiles(
     rows: int,
     tex_descs: tuple,
     bounces: int,
+    cam: tuple[int, int, int, int] | None = None,
+    n_tiles: int | None = None,
 ):
-    n_tiles = rays6[0].shape[0]
+    if cam is None:
+        n_tiles = rays6[0].shape[0]
     ROWS = rows
     kernel = _make_render_kernel(
-        instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces
+        instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam
     )
     interpret = jax.default_backend() != "tpu"
     tile_spec = pl.BlockSpec(
@@ -336,11 +378,12 @@ def _render_tiles(
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((None, 9 * ROWS, 128), lambda i: (i, 0, 0))
+    ray_in = (rays6, [tile_spec] * 6) if cam is None else ((cam_vec,), [smem])
     big = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 9 * ROWS, 128), jnp.float32),
-        in_specs=[tile_spec] * 6 + [full, full, smem] + [full] * 9,
+        in_specs=ray_in[1] + [full, full, smem] + [full] * 9,
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
@@ -350,7 +393,7 @@ def _render_tiles(
         ],
         interpret=interpret,
     )(
-        *rays6, inst_rows, mat_rows, sun, scab, clab,
+        *ray_in[0], inst_rows, mat_rows, sun, scab, clab,
         tri_a, tri_b, tri_c, at_a, at_b, at_c, at_d,
     )
     fld3 = lambda k: big[:, k * ROWS : (k + 3) * ROWS, :]
@@ -419,6 +462,7 @@ def render_fused(
 
     res, men, mdir = _render_tiles(
         rays6,
+        None,
         scene.packed.inst_rows,
         scene.packed.mat_rows,
         sun,
@@ -448,6 +492,97 @@ def render_fused(
 
     # deferred skybox: XLA-side arctan2/arccos keep bit-parity with the
     # two-phase/golden paths; misses terminate rays, so one add suffices
+    pk = scene.packed
+    sky_idx = _skybox_index(pk.skybox_w, pk.skybox_h, pk.skybox_off, mdir)
+    sky = _eval_skybox_inline(scene, sky_idx, pk.skybox_w, pk.skybox_off)
+    return res + sky * men
+
+
+def render_fused_camera(
+    scene: Scene,
+    frame,  # render.FrameInputs
+    width: int,
+    height: int,
+    bounces: int,
+    rows: int | None = None,
+) -> Array:
+    """Fused frame with **in-kernel raygen** → [3, rows_total, 128] radiance
+    in screen-tile order (the layout render.trace_image untiles).
+
+    The kernel derives each lane's pixel from its grid index and unprojects
+    with camera matrices read from one SMEM row — the frame's only per-ray
+    HBM traffic is the 9-field output block. Replaces ray_directions_tiled +
+    render_fused for the flagship path; callers must check
+    :func:`fused_path_available` first.
+    """
+    from clraytracer_tpu.ops.shade import (
+        _OFF_SHIFT,
+        _eval_skybox_inline,
+        _skybox_index,
+    )
+
+    trows = _tile_rows(width * height)
+    tiles_x = -(-width // 128)
+    tiles_y = -(-height // trows)
+    rows_total = tiles_y * tiles_x * trows
+    ROWS = rows if rows is not None else min(FUSED_ROWS, trows)
+    while rows is None and trows % ROWS:
+        ROWS //= 2  # trows is a multiple of 8, so this terminates
+    n_tiles = rows_total // ROWS
+    assert n_tiles * ROWS == rows_total and trows % ROWS == 0, (
+        rows_total, trows, ROWS,
+    )
+
+    clusters = scene.clusters
+    mesh_idx, _, _, _ = _instance_tables(scene)
+    ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
+    tex_descs = tuple(
+        (off >> _OFF_SHIFT, off & ((1 << _OFF_SHIFT) - 1), desc)
+        for _h, off, desc in scene.procedural_tex
+    )
+
+    cam_vec = jnp.concatenate(
+        [
+            jnp.asarray(frame.inverse_projection, jnp.float32).reshape(-1),
+            jnp.asarray(frame.inverse_view, jnp.float32).reshape(-1),
+            jnp.asarray(frame.camera_position, jnp.float32).reshape(-1),
+        ]
+    ).reshape(1, 35)
+    sun = jnp.stack(
+        [jnp.sin(frame.sun_angle), jnp.cos(frame.sun_angle)]
+    ).astype(jnp.float32).reshape(1, 2)
+
+    res, men, mdir = _render_tiles(
+        (),
+        cam_vec,
+        scene.packed.inst_rows,
+        scene.packed.mat_rows,
+        sun,
+        clusters.super_aabb,
+        clusters.cluster_aabb,
+        clusters.tri_a,
+        clusters.tri_b,
+        clusters.tri_c,
+        clusters.at_a,
+        clusters.at_b,
+        clusters.at_c,
+        clusters.at_d,
+        ranges,
+        ROWS,
+        tex_descs,
+        bounces,
+        cam=(trows, tiles_x, width, height),
+        n_tiles=n_tiles,
+    )
+
+    def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
+        return (
+            x.reshape(n_tiles, 3, ROWS, 128)
+            .transpose(1, 0, 2, 3)
+            .reshape(3, rows_total, 128)
+        )
+
+    res, men, mdir = untile3(res), untile3(men), untile3(mdir)
     pk = scene.packed
     sky_idx = _skybox_index(pk.skybox_w, pk.skybox_h, pk.skybox_off, mdir)
     sky = _eval_skybox_inline(scene, sky_idx, pk.skybox_w, pk.skybox_off)

@@ -193,23 +193,65 @@ def trace_image(
     reshape/transpose."""
     from clraytracer_tpu.ops.trace_pallas import _tile_rows
 
+    result, trows, tiles_x, tiles_y = _trace_tiled(
+        scene, frame, width, height, bounces, tracer,
+        reference_parity, integer_colors,
+    )
+    img = _untile(result, trows, tiles_x, tiles_y, height, width)
+    return planar.to_last(img, (height, width))
+
+
+def _trace_tiled(
+    scene: Scene,
+    frame: FrameInputs,
+    width: int,
+    height: int,
+    bounces: int,
+    tracer: Tracer,
+    reference_parity: bool,
+    integer_colors: bool,
+) -> tuple[Array, int, int, int]:
+    """Trace the frame in screen-tile order; returns the raw
+    ``[3, rows, 128]`` radiance plus the tile geometry (trows, tiles_x,
+    tiles_y) needed to untile it."""
+    from clraytracer_tpu.ops.trace_pallas import _tile_rows
+
     trows = _tile_rows(width * height)
     tiles_x = -(-width // 128)
     tiles_y = -(-height // trows)
-    dirs = ray_directions_tiled(
-        frame.inverse_view, frame.inverse_projection, width, height, trows
-    )  # [3, tiles_y * tiles_x * trows, 128]
-    origin = jnp.broadcast_to(frame.camera_position[:, None, None], dirs.shape)
-    result = bounce_loop(
-        scene, origin, dirs, frame.sun_angle, bounces, tracer,
-        reference_parity, integer_colors,
-    )
-    img = (
+    result = None
+    if tracer is trace_pallas:
+        from clraytracer_tpu.ops import render_pallas as rp
+
+        if rp.fused_path_available(scene, reference_parity, integer_colors):
+            # in-kernel raygen: no per-ray inputs at all (render_pallas)
+            result = rp.render_fused_camera(
+                scene, frame, width, height, bounces
+            )
+    if result is None:
+        dirs = ray_directions_tiled(
+            frame.inverse_view, frame.inverse_projection, width, height, trows
+        )  # [3, tiles_y * tiles_x * trows, 128]
+        origin = jnp.broadcast_to(
+            frame.camera_position[:, None, None], dirs.shape
+        )
+        result = bounce_loop(
+            scene, origin, dirs, frame.sun_angle, bounces, tracer,
+            reference_parity, integer_colors,
+        )
+    return result, trows, tiles_x, tiles_y
+
+
+def _untile(
+    result: Array, trows: int, tiles_x: int, tiles_y: int,
+    height: int, width: int,
+) -> Array:
+    """[3, rows, 128] screen-tile order → [3, H, W] planar image."""
+    return (
         result.reshape(3, tiles_y, tiles_x, trows, 128)
         .transpose(0, 1, 3, 2, 4)
         .reshape(3, tiles_y * trows, tiles_x * 128)[:, :height, :width]
     )
-    return planar.to_last(img, (height, width))
 
 
 def render_frame(
@@ -219,6 +261,23 @@ def render_frame(
     tracer: Tracer = trace_wavefront,
 ) -> Array:
     """Full frame: trace + post chain. Returns [H, W, 3] display-ready."""
+    if config.enable_post and not config.enable_fxaa:
+        # post directly on the trace loop's tile layout — the elementwise
+        # chain fuses with the deferred-skybox add, and the frame pays for
+        # exactly ONE relayout (the final [H, W, 3] interleave) instead of
+        # three (untile → interleave → [3, N] → interleave again)
+        from clraytracer_tpu.ops.post import post_process_tiled
+
+        result, trows, tiles_x, tiles_y = _trace_tiled(
+            scene, frame, config.width, config.height, config.bounces,
+            tracer, config.reference_parity_shading, config.integer_colors,
+        )
+        result = post_process_tiled(
+            result, config.width, config.height, trows, tiles_x
+        )
+        img = _untile(result, trows, tiles_x, tiles_y, config.height, config.width)
+        return planar.to_last(img, (config.height, config.width))
+
     img = trace_image(
         scene,
         frame,

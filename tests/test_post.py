@@ -69,3 +69,40 @@ def test_post_process_pipeline_shapes():
     out = np.asarray(post_process(img, enable_fxaa=True))
     assert out.shape == (12, 16, 3)
     assert np.isfinite(out).all()
+
+
+def test_tiled_post_matches_untiled_frame():
+    """render_frame's tile-layout post chain must reproduce
+    trace_image → post_process exactly (same per-pixel expression tree,
+    only the layout differs)."""
+    import jax
+    from clraytracer_tpu.camera import Camera
+    from clraytracer_tpu.config import CameraConfig, RenderConfig
+    from clraytracer_tpu.render import (
+        frame_inputs_from_camera,
+        render_frame,
+        trace_image,
+    )
+    from clraytracer_tpu.ops.trace_ref import trace_bvh
+    from clraytracer_tpu.scene import SceneBuilder
+    from clraytracer_tpu.scene.procedural import uv_sphere
+    from clraytracer_tpu.scene import procedural_tex as ptex
+
+    b = SceneBuilder()
+    b.import_procedural(ptex.sky_gradient(64, 32))
+    checker = b.import_procedural(ptex.checker(32, 4))
+    mat = b.create_material(albedo=(0.9, 0.6, 0.3), albedo_tex=checker)
+    mesh = b.add_mesh(uv_sphere(2.0, n_lat=6, n_lon=8), materials_start=mat)
+    b.add_instance(mesh)
+    scene = b.build()
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), 40, 24)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
+    cfg = RenderConfig(width=40, height=24)
+
+    fast = np.asarray(render_frame(scene, frame, cfg, tracer=trace_bvh))
+    ref = np.asarray(
+        post_process(
+            trace_image(scene, frame, 40, 24, tracer=trace_bvh)
+        )
+    )
+    np.testing.assert_allclose(fast, ref, atol=1e-6)
