@@ -51,9 +51,9 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from clraytracer_tpu.ops import trace_pallas as _tp
 from clraytracer_tpu.ops.trace_pallas import (
     _BIG,
-    VMEM_TABLE_BUDGET,
     _emit_traversal,
     _table_bytes,
     _tile_rows,
@@ -90,13 +90,18 @@ def _make_render_kernel(
     tex_descs: tuple,  # ((off_hi, off_lo, ProceduralTexture), ...)
     bounces: int,
     cam: tuple[int, int, int, int] | None = None,
+    stream: bool = False,
 ):
     """``cam = (trows, tiles_x, width, height)`` selects in-kernel raygen:
     instead of six [ROWS, 128] ray inputs streamed from HBM, the kernel
     receives one SMEM row of camera state (invProj | invView | position) and
     reconstructs each lane's primary ray from its pixel coordinates (the
     RayGen unprojection, kernel_main.cl:277-287, same expression order as
-    camera._unproject_grid) — zero per-ray input traffic for the frame."""
+    camera._unproject_grid) — zero per-ray input traffic for the frame.
+
+    ``stream`` swaps the VMEM cluster tables for the HBM ``geo_stream``
+    array DMA'd per surviving cluster (ops/trace_pallas._emit_traversal) —
+    the fused frame stays available past the VMEM table budget."""
     from clraytracer_tpu.scene.procedural_tex import _eval
 
     ROWS = rows
@@ -116,19 +121,31 @@ def _make_render_kernel(
             sun_ref,  # SMEM [1, 2]: (sin sun_angle, cos sun_angle)
             scab_ref,  # [S, 8] supercluster AABBs
             clab_ref,  # [C, 8] cluster AABBs
-            ta_ref,  # [C, 128] triangle geometry (ops/trace_pallas layout)
-            tb_ref,
-            tc_ref,
-            aa_ref,  # [C, 128] shading attributes
-            ab_ref,
-            ac_ref,
-            ad_ref,
-            out_ref,  # [9*ROWS, 128]: result rgb | miss_energy rgb | miss_dir rgb
-            sc_scratch,  # SMEM [S_total] i32
-            sk_scratch,  # SMEM [S_total] f32
-            cl_scratch,  # SMEM [C_total] i32
-            hs_ref,  # VMEM [11*ROWS, 128] per-bounce hit scratch
-        ) = rest
+        ) = rest[:5]
+        rest = rest[5:]
+        if stream:
+            geo_ref = rest[0]  # [8C, 128] ANY (HBM) — see Clusters.geo_stream
+            (out_ref, sc_scratch, sk_scratch, cl_scratch, hs_ref,
+             buf_ref, sem_ref) = rest[1:]
+            tables = (None,) * 7
+            stream_refs = (geo_ref, buf_ref, sem_ref)
+        else:
+            (
+                ta_ref,  # [C, 128] triangle geometry (ops/trace_pallas layout)
+                tb_ref,
+                tc_ref,
+                aa_ref,  # [C, 128] shading attributes
+                ab_ref,
+                ac_ref,
+                ad_ref,
+                out_ref,  # [9*ROWS, 128]: result rgb | miss rgb | miss_dir rgb
+                sc_scratch,  # SMEM [S_total] i32
+                sk_scratch,  # SMEM [S_total] f32
+                cl_scratch,  # SMEM [C_total] i32
+                hs_ref,  # VMEM [11*ROWS, 128] per-bounce hit scratch
+            ) = rest
+            tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
+            stream_refs = None
         zero = jnp.zeros((ROWS, 128), jnp.float32)
         one = jnp.ones((ROWS, 128), jnp.float32)
         if cam is None:
@@ -184,16 +201,11 @@ def _make_render_kernel(
                     inst_ref,
                     scab_ref,
                     clab_ref,
-                    ta_ref,
-                    tb_ref,
-                    tc_ref,
-                    aa_ref,
-                    ab_ref,
-                    ac_ref,
-                    ad_ref,
+                    *tables,
                     sc_scratch,
                     sk_scratch,
                     cl_scratch,
+                    stream=stream_refs,
                 )
 
             if _b == 0:
@@ -341,6 +353,7 @@ def _make_render_kernel(
     jax.jit,
     static_argnames=(
         "instance_ranges", "rows", "tex_descs", "bounces", "cam", "n_tiles",
+        "stream",
     ),
 )
 def _render_tiles(
@@ -351,27 +364,27 @@ def _render_tiles(
     sun: Array,  # [1, 2] f32 (sin, cos)
     scab: Array,
     clab: Array,
-    tri_a: Array,
-    tri_b: Array,
-    tri_c: Array,
-    at_a: Array,
-    at_b: Array,
-    at_c: Array,
-    at_d: Array,
+    geo: tuple[Array, ...],  # resident: 7 x [C, 128]; streamed: 1 x [8C, 128]
     instance_ranges: tuple[tuple[int, int, int, int], ...],
     rows: int,
     tex_descs: tuple,
     bounces: int,
     cam: tuple[int, int, int, int] | None = None,
     n_tiles: int | None = None,
+    stream: bool = False,
 ):
     if cam is None:
         n_tiles = rays6[0].shape[0]
     ROWS = rows
     kernel = _make_render_kernel(
-        instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam
+        instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam,
+        stream,
     )
-    interpret = jax.default_backend() != "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = (
+        False if on_tpu
+        else (pltpu.InterpretParams() if stream else True)
+    )
     tile_spec = pl.BlockSpec(
         (None, ROWS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -379,22 +392,30 @@ def _render_tiles(
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((None, 9 * ROWS, 128), lambda i: (i, 0, 0))
     ray_in = (rays6, [tile_spec] * 6) if cam is None else ((cam_vec,), [smem])
+    geo_specs = (
+        [pl.BlockSpec(memory_space=pl.ANY)] if stream else [full] * 7
+    )
+    scratch = [
+        pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
+        pltpu.SMEM((max(scab.shape[0], 2),), jnp.float32),
+        pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
+        pltpu.VMEM((11 * ROWS, 128), jnp.float32),
+    ]
+    if stream:
+        scratch += [
+            pltpu.VMEM((16, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     big = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct((n_tiles, 9 * ROWS, 128), jnp.float32),
-        in_specs=ray_in[1] + [full, full, smem] + [full] * 9,
+        in_specs=ray_in[1] + [full, full, smem, full, full] + geo_specs,
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
-            pltpu.SMEM((max(scab.shape[0], 2),), jnp.float32),
-            pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
-            pltpu.VMEM((11 * ROWS, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(
-        *ray_in[0], inst_rows, mat_rows, sun, scab, clab,
-        tri_a, tri_b, tri_c, at_a, at_b, at_c, at_d,
+        *ray_in[0], inst_rows, mat_rows, sun, scab, clab, *geo,
     )
     fld3 = lambda k: big[:, k * ROWS : (k + 3) * ROWS, :]
     return fld3(0), fld3(3), fld3(6)  # result, miss_energy, miss_dir blocks
@@ -410,9 +431,25 @@ def fused_path_available(scene: Scene, reference_parity: bool,
         and integer_colors
         and scene.packed is not None
         and scene.clusters is not None
-        and _table_bytes(scene.clusters) <= VMEM_TABLE_BUDGET
+        and (
+            _table_bytes(scene.clusters) <= _tp.VMEM_TABLE_BUDGET
+            or scene.clusters.geo_stream is not None  # HBM-streamed tables
+        )
         and scene.materials.count <= MAX_FUSED_MATERIALS
         and _all_procedural(scene)
+    )
+
+
+def _geo_inputs(clusters) -> tuple[bool, tuple]:
+    """(stream?, geometry arrays) for _render_tiles — streamed when the
+    tables exceed the VMEM budget (requires clusters.geo_stream)."""
+    stream = _table_bytes(clusters) > _tp.VMEM_TABLE_BUDGET
+    if stream:
+        assert clusters.geo_stream is not None
+        return True, (clusters.geo_stream,)
+    return False, (
+        clusters.tri_a, clusters.tri_b, clusters.tri_c,
+        clusters.at_a, clusters.at_b, clusters.at_c, clusters.at_d,
     )
 
 
@@ -460,6 +497,7 @@ def render_fused(
         [jnp.sin(sun_angle), jnp.cos(sun_angle)]
     ).astype(jnp.float32).reshape(1, 2)
 
+    stream, geo = _geo_inputs(clusters)
     res, men, mdir = _render_tiles(
         rays6,
         None,
@@ -468,17 +506,12 @@ def render_fused(
         sun,
         clusters.super_aabb,
         clusters.cluster_aabb,
-        clusters.tri_a,
-        clusters.tri_b,
-        clusters.tri_c,
-        clusters.at_a,
-        clusters.at_b,
-        clusters.at_c,
-        clusters.at_d,
+        geo,
         ranges,
         ROWS,
         tex_descs,
         bounces,
+        stream=stream,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
@@ -552,6 +585,7 @@ def render_fused_camera(
         [jnp.sin(frame.sun_angle), jnp.cos(frame.sun_angle)]
     ).astype(jnp.float32).reshape(1, 2)
 
+    stream, geo = _geo_inputs(clusters)
     res, men, mdir = _render_tiles(
         (),
         cam_vec,
@@ -560,19 +594,14 @@ def render_fused_camera(
         sun,
         clusters.super_aabb,
         clusters.cluster_aabb,
-        clusters.tri_a,
-        clusters.tri_b,
-        clusters.tri_c,
-        clusters.at_a,
-        clusters.at_b,
-        clusters.at_c,
-        clusters.at_d,
+        geo,
         ranges,
         ROWS,
         tex_descs,
         bounces,
         cam=(trows, tiles_x, width, height),
         n_tiles=n_tiles,
+        stream=stream,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]

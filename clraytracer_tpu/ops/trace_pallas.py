@@ -91,6 +91,13 @@ def _emit_traversal(
     sc_scratch,  # SMEM [S_total] i32
     sk_scratch,  # SMEM [S_total] f32 supercluster min-tnear sort keys
     cl_scratch,  # SMEM [C_total] i32
+    stream=None,  # (geo_ref [8C, 128] ANY, buf_ref [16, 128] VMEM,
+    #   sem_ref DMA[2]) — HBM-streamed cluster geometry for scenes whose
+    #   tables exceed VMEM (see trace_pallas_streamed). When set, the
+    #   ta..ad refs are unused (pass None): phase C double-buffers each
+    #   surviving cluster's 4 KiB geometry row-block into ``buf_ref``
+    #   (prefetch j+1 while intersecting j) and reads scalars from the
+    #   buffer instead of the resident tables.
 ):
     """Emit the three-phase traversal over all instances into ``hit_ref``.
 
@@ -99,6 +106,27 @@ def _emit_traversal(
     by in-kernel shading, once per bounce).
     """
     n_instances = len(instance_ranges)
+    if stream is not None:
+        geo_ref, buf_ref, sem_ref = stream
+        n_clusters_total = geo_ref.shape[0] // 8
+
+        def _dma(c, slot):
+            # clamp: under pl.when the predicate guards real-hardware
+            # execution, but interpret mode evaluates guarded reads, and a
+            # stale SMEM survivor entry must never address outside the
+            # table either way
+            c = jnp.clip(c, 0, n_clusters_total - 1)
+            return pltpu.make_async_copy(
+                geo_ref.at[pl.ds(c * 8, 8)],
+                buf_ref.at[pl.ds(slot * 8, 8)],
+                sem_ref.at[slot],
+            )
+
+        def _start_dma(c, slot):
+            _dma(c, slot).start()
+
+        def _wait_dma(c, slot):
+            _dma(c, slot).wait()
     ox_w, oy_w, oz_w, dx_w, dy_w, dz_w = rays
 
     hit_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
@@ -182,8 +210,15 @@ def _emit_traversal(
                 valid = c_local < cl_n
                 c = cl0 + jnp.minimum(c_local, cl_n - 1)
                 hit, _ = slab_hits(clab_ref, c, bt_in)
-                cl_scratch[cnt] = c
-                return cnt + (jnp.any(hit) & valid).astype(jnp.int32)
+                # the write must stay in bounds even on the iterations past
+                # the last survivor (cnt can equal the scratch size when
+                # every cluster of a whole-scratch instance survives):
+                # clamp the slot and rewrite its existing value when not
+                # keeping, so survivor entries are never clobbered
+                keep = jnp.any(hit) & valid
+                slot = jnp.minimum(cnt, cl_scratch.shape[0] - 1)
+                cl_scratch[slot] = jnp.where(keep, c, cl_scratch[slot])
+                return cnt + keep.astype(jnp.int32)
 
             nb = jax.lax.fori_loop(0, na * SUPER_SIZE, phase_b, jnp.int32(0))
 
@@ -198,8 +233,31 @@ def _emit_traversal(
             # accept mask — the triangle's attrs are in VMEM at static
             # columns, so this replaces a ~5 ms/bounce XLA attribute gather
             # with a few extra scalar loads + FMAs per tested triangle.
+            if stream is not None:
+                # kick the pipeline: survivor 0's geometry starts loading
+                # while the sort above is still settling in SMEM
+                @pl.when(nb > 0)
+                def _preflight():
+                    _start_dma(cl_scratch[0], jnp.int32(0))
+
             def phase_c(j, carry):
                 c = cl_scratch[j]
+                dslot = jax.lax.rem(j, 2)  # DMA double-buffer slot
+                if stream is not None:
+                    # prefetch j+1 into the other slot, then wait for j —
+                    # the next cluster's DMA rides under this one's batch.
+                    # The wait is UNCONDITIONAL (outside the occlusion
+                    # skip): every started DMA must be consumed exactly
+                    # once or the slot's semaphore carries residue into
+                    # the next use (data race with the scalar reads).
+                    @pl.when(j + 1 < nb)
+                    def _prefetch():
+                        # clamp: interpret mode evaluates guarded reads,
+                        # and j+1 == nb can equal the scratch size
+                        nxt = jnp.minimum(j + 1, cl_scratch.shape[0] - 1)
+                        _start_dma(cl_scratch[nxt], 1 - dslot)
+
+                    _wait_dma(c, dslot)
                 bt_run = out_ref[0:ROWS, :]
                 any_live, _ = slab_hits(clab_ref, c, bt_run)
 
@@ -230,16 +288,27 @@ def _emit_traversal(
                             out_ref[9 * ROWS : 10 * ROWS, :],
                             out_ref[10 * ROWS : 11 * ROWS, :],
                         )
+                    if stream is None:
+                        # resident tables: scalar loads [traced row c,
+                        # static col] from the 7 VMEM tables
+                        tabs = (ta_ref, tb_ref, tc_ref,
+                                aa_ref, ab_ref, ac_ref, ad_ref)
+                        g = lambda t, col: tabs[t][c, col]
+                    else:
+                        # streamed: same layout, table t = buffer row
+                        # slot*8 + t (geo_stream packs the 7 tables as 8
+                        # rows per cluster, scene/builder.py)
+                        g = lambda t, col: buf_ref[dslot * 8 + t, col]
                     for k in range(CLUSTER_SIZE):
-                        v0x = ta_ref[c, k]
-                        v0y = ta_ref[c, 32 + k]
-                        v0z = ta_ref[c, 64 + k]
-                        e1x = ta_ref[c, 96 + k]
-                        e1y = tb_ref[c, k]
-                        e1z = tb_ref[c, 32 + k]
-                        e2x = tb_ref[c, 64 + k]
-                        e2y = tb_ref[c, 96 + k]
-                        e2z = tc_ref[c, k]
+                        v0x = g(0, k)
+                        v0y = g(0, 32 + k)
+                        v0z = g(0, 64 + k)
+                        e1x = g(0, 96 + k)
+                        e1y = g(1, k)
+                        e1z = g(1, 32 + k)
+                        e2x = g(1, 64 + k)
+                        e2y = g(1, 96 + k)
+                        e2z = g(2, k)
                         hx = dy * e2z - dz * e2y
                         hy = dz * e2x - dx * e2z
                         hz = dx * e2y - dy * e2x
@@ -278,22 +347,22 @@ def _emit_traversal(
                         # the XLA path in shade_hits → bit-identical):
                         # w0*a0 + u*a1 + v*a2
                         w0 = 1.0 - u - v
-                        n0x = aa_ref[c, k]
-                        n0y = aa_ref[c, 32 + k]
-                        n0z = aa_ref[c, 64 + k]
-                        n1x = aa_ref[c, 96 + k]
-                        n1y = ab_ref[c, k]
-                        n1z = ab_ref[c, 32 + k]
-                        n2x = ab_ref[c, 64 + k]
-                        n2y = ab_ref[c, 96 + k]
-                        n2z = ac_ref[c, k]
-                        uv0u = ac_ref[c, 32 + k]
-                        uv0v = ac_ref[c, 64 + k]
-                        uv1u = ac_ref[c, 96 + k]
-                        uv1v = ad_ref[c, k]
-                        uv2u = ad_ref[c, 32 + k]
-                        uv2v = ad_ref[c, 64 + k]
-                        matl = ad_ref[c, 96 + k]
+                        n0x = g(3, k)
+                        n0y = g(3, 32 + k)
+                        n0z = g(3, 64 + k)
+                        n1x = g(3, 96 + k)
+                        n1y = g(4, k)
+                        n1z = g(4, 32 + k)
+                        n2x = g(4, 64 + k)
+                        n2y = g(4, 96 + k)
+                        n2z = g(5, k)
+                        uv0u = g(5, 32 + k)
+                        uv0v = g(5, 64 + k)
+                        uv1u = g(5, 96 + k)
+                        uv1v = g(6, k)
+                        uv2u = g(6, 32 + k)
+                        uv2v = g(6, 64 + k)
+                        matl = g(6, 96 + k)
                         bu, bv, nx, ny, nz, uu, vv, mat = battr
                         battr = (
                             jnp.where(ok, u, bu),
@@ -329,77 +398,71 @@ def _make_kernel(
     instance_ranges: tuple[tuple[int, int, int, int], ...],
     rows: int,
     variant: str = "full",
+    stream: bool = False,
 ):
     """Builds the hit-record kernel body for a static per-instance range
     list (supercluster start/count, cluster start/count per instance).
 
     ``variant`` (perf analysis; tools/perf_breakdown.py): "full" = shipped
     kernel; "noattr" = skip the inline attribute interpolation; "geom" =
-    intersection only (no best-attr carry at all)."""
+    intersection only (no best-attr carry at all).
+
+    ``stream`` swaps the seven VMEM geometry tables for one HBM-resident
+    ``geo_stream`` array DMA'd per surviving cluster (see _emit_traversal's
+    ``stream`` arg) — scenes beyond the VMEM budget keep the Pallas path."""
     ROWS = rows
 
-    def kernel(
-        ox_ref,  # [ROWS, 128] tile ray origin x (world)
-        oy_ref,
-        oz_ref,
-        dx_ref,  # [ROWS, 128] tile ray direction x (world)
-        dy_ref,
-        dz_ref,
-        inv_ref,  # [I, 16] instance inverse transforms
-        scab_ref,  # [S, 8] supercluster AABBs
-        clab_ref,  # [C, 8] cluster AABBs
-        ta_ref,  # [C, 128] triangle geometry (see _emit_traversal)
-        tb_ref,
-        tc_ref,
-        aa_ref,  # [C, 128] shading attrs
-        ab_ref,
-        ac_ref,
-        ad_ref,
-        out_ref,  # [11 * ROWS, 128] f32 — one fused result buffer = one
-        #   output DMA stream per tile; consumers take contiguous row-block
-        #   slices (free). Layout in _emit_traversal.
-        sc_scratch,  # SMEM [S_total] i32
-        sk_scratch,  # SMEM [S_total] f32
-        cl_scratch,  # SMEM [C_total] i32
-    ):
+    def kernel(*refs):
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         inv_ref, scab_ref, clab_ref) = refs[:9]
+        if stream:
+            (geo_ref, out_ref,
+             sc_scratch, sk_scratch, cl_scratch, buf_ref, sem_ref) = refs[9:]
+            tables = (None,) * 7
+            stream_refs = (geo_ref, buf_ref, sem_ref)
+        else:
+            (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref,
+             out_ref, sc_scratch, sk_scratch, cl_scratch) = refs[9:]
+            tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
+            stream_refs = None
         rays = (
             ox_ref[...], oy_ref[...], oz_ref[...],
             dx_ref[...], dy_ref[...], dz_ref[...],
         )
         _emit_traversal(
             rays, out_ref, ROWS, instance_ranges, variant,
-            inv_ref, scab_ref, clab_ref, ta_ref, tb_ref, tc_ref,
-            aa_ref, ab_ref, ac_ref, ad_ref,
-            sc_scratch, sk_scratch, cl_scratch,
+            inv_ref, scab_ref, clab_ref, *tables,
+            sc_scratch, sk_scratch, cl_scratch, stream=stream_refs,
         )
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("instance_ranges", "rows", "variant")
+    jax.jit, static_argnames=("instance_ranges", "rows", "variant", "stream")
 )
 def _trace_tiles(
     rays6: tuple[Array, ...],  # 6 x [T, ROWS, 128]: ox oy oz dx dy dz
     inv: Array,  # [I, 16]
     scab: Array,  # [S, 8]
     clab: Array,  # [C, 8]
-    tri_a: Array,  # [C, 128]
-    tri_b: Array,  # [C, 128]
-    tri_c: Array,  # [C, 128]
-    at_a: Array,  # [C, 128] shading attrs
-    at_b: Array,
-    at_c: Array,
-    at_d: Array,
+    geo: tuple[Array, ...],  # resident: 7 x [C, 128] tables
+    #   (tri_a..tri_c, at_a..at_d); streamed: 1 x [8C, 128] geo_stream
     instance_ranges: tuple[tuple[int, int, int, int], ...],
     rows: int = MAX_ROWS,
     variant: str = "full",
+    stream: bool = False,
 ):
     n_tiles = rays6[0].shape[0]
     ROWS = rows
-    kernel = _make_kernel(instance_ranges, rows, variant)
+    kernel = _make_kernel(instance_ranges, rows, variant, stream)
     # tests and the golden path run on CPU: interpret the kernel there
-    interpret = jax.default_backend() != "tpu"
+    # (the streamed variant uses DMA semantics → TPU-interpret mode)
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = (
+        False if on_tpu
+        else (pltpu.InterpretParams() if stream else True)
+    )
     # each ray component arrives as its own [T, ROWS, 128] array — a pure
     # reshape of a planar [N] row, and a simple dense block per tile.
     # (A combined [3, T, 8, 128] input with block (3, None, 8, 128) made
@@ -410,21 +473,30 @@ def _trace_tiles(
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     # single fused result (see the kernel's out_ref comment)
     out_spec = pl.BlockSpec((None, 11 * ROWS, 128), lambda i: (i, 0, 0))
+    geo_specs = (
+        [pl.BlockSpec(memory_space=pl.ANY)] if stream else [full] * 7
+    )
+    scratch = [
+        pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
+        pltpu.SMEM((max(scab.shape[0], 2),), jnp.float32),
+        pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
+    ]
+    if stream:
+        scratch += [
+            pltpu.VMEM((16, 128), jnp.float32),  # double-buffered cluster
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     big = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, 11 * ROWS, 128), jnp.float32
         ),
-        in_specs=[tile_spec] * 6 + [full] * 10,
+        in_specs=[tile_spec] * 6 + [full] * 3 + geo_specs,
         out_specs=out_spec,
-        scratch_shapes=[
-            pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
-            pltpu.SMEM((max(scab.shape[0], 2),), jnp.float32),
-            pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(*rays6, inv, scab, clab, tri_a, tri_b, tri_c, at_a, at_b, at_c, at_d)
+    )(*rays6, inv, scab, clab, *geo)
 
     fld = lambda k: big[:, k * ROWS:(k + 1) * ROWS, :]
     as_i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -454,9 +526,11 @@ def trace_pallas(
     ``origin``/``direction``: planar [3, ...] — tiling is a pure reshape."""
     clusters = scene.clusters
     assert clusters is not None, "scene built without cluster tables"
-    if _table_bytes(clusters) > VMEM_TABLE_BUDGET:
-        # scene too large for VMEM-resident tables — use the XLA wavefront
-        # traversal (HBM-native) rather than failing in Mosaic allocation
+    stream = _table_bytes(clusters) > VMEM_TABLE_BUDGET
+    if stream and clusters.geo_stream is None:
+        # scene too large for VMEM-resident tables and built without a
+        # streaming table — use the XLA wavefront traversal (HBM-native)
+        # rather than failing in Mosaic allocation
         from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
 
         return trace_wavefront(scene, origin, direction)
@@ -486,21 +560,24 @@ def trace_pallas(
     ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
     inv = scene.instances.inverse_transform.reshape(-1, 16)
 
+    geo = (
+        (clusters.geo_stream,)
+        if stream
+        else (
+            clusters.tri_a, clusters.tri_b, clusters.tri_c,
+            clusters.at_a, clusters.at_b, clusters.at_c, clusters.at_d,
+        )
+    )
     t, u, v, tri_slot, inst, nx, ny, nz, uu, vv, matl = _trace_tiles(
         rays6,
         inv,
         clusters.super_aabb,
         clusters.cluster_aabb,
-        clusters.tri_a,
-        clusters.tri_b,
-        clusters.tri_c,
-        clusters.at_a,
-        clusters.at_b,
-        clusters.at_c,
-        clusters.at_d,
+        geo,
         ranges,
         rows=ROWS,
         variant=variant,
+        stream=stream,
     )
 
     def untile(x: Array) -> Array:

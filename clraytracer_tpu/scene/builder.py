@@ -375,7 +375,26 @@ class SceneBuilder:
         pad8 = lambda mn, mx: np.concatenate(
             [mn, mx, np.zeros((mn.shape[0], 2), np.float32)], axis=1
         )
+        # scenes beyond the Pallas VMEM table budget additionally get the
+        # HBM-streaming layout: the 7 tables stacked 8 rows per cluster
+        # ([8C, 128]; row 7 is padding for tile-aligned 4 KiB DMAs) so the
+        # tile tracer can double-buffer cluster geometry instead of
+        # falling back to the wavefront path
+        from clraytracer_tpu.ops.trace_pallas import VMEM_TABLE_BUDGET
+
+        n_c, n_s = ct.tri_a.shape[0], ct.super_min.shape[0]
+        table_bytes = n_c * (7 * 128 * 4 + 8 * 4) + n_s * 8 * 4
+        geo_stream = None
+        if table_bytes > VMEM_TABLE_BUDGET:
+            geo_stream = jnp.asarray(
+                np.stack(
+                    [ct.tri_a, ct.tri_b, ct.tri_c, ct.at_a, ct.at_b,
+                     ct.at_c, ct.at_d, np.zeros_like(ct.tri_a)],
+                    axis=1,
+                ).reshape(-1, 128)
+            )
         clusters = Clusters(
+            geo_stream=geo_stream,
             tri_a=jnp.asarray(ct.tri_a),
             tri_b=jnp.asarray(ct.tri_b),
             tri_c=jnp.asarray(ct.tri_c),

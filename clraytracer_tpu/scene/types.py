@@ -166,6 +166,12 @@ class Clusters:
     tri_gid: Array  # [C*32] i32: padded slot → global arena triangle index
     cluster_aabb: Array  # [C, 8] f32: min xyz @ 0..2, max xyz @ 3..5
     super_aabb: Array  # [S, 8] f32
+    #: [8C, 128] f32 HBM-streaming copy of the 7 geometry tables, packed 8
+    #: rows per cluster (tri_a|tri_b|tri_c|at_a..at_d|pad) so one cluster is
+    #: one contiguous, tile-aligned 4 KiB DMA. Built only for scenes whose
+    #: tables exceed the Pallas VMEM budget (scene/builder.py); None keeps
+    #: small scenes free of the duplicate.
+    geo_stream: Array | None = None
     #: per-mesh (super_start, super_count, cluster_start, cluster_count)
     mesh_ranges: tuple[tuple[int, int, int, int], ...] = static_field(default=())
 

@@ -290,3 +290,56 @@ def test_fused_render_matches_brute(procedural_scene):
     )
     close = np.isclose(img_b, img_f, atol=1e-3).all(axis=-1)
     assert close.mean() > 0.99  # seam-tie pixels may shade differently
+
+
+def test_streamed_tables_match_resident(monkeypatch):
+    """Scenes beyond the VMEM table budget now stay on the Pallas path by
+    DMA-streaming cluster geometry from HBM (clusters.geo_stream). Hits and
+    the fused frame must be identical to the VMEM-resident kernel."""
+    from clraytracer_tpu.ops import render_pallas as rp
+    from clraytracer_tpu.ops import trace_pallas as tp
+    from clraytracer_tpu.scene import SceneBuilder
+    from clraytracer_tpu.scene.procedural import uv_sphere
+    from clraytracer_tpu.scene import procedural_tex as ptex
+
+    def build():
+        b = SceneBuilder()
+        b.import_procedural(ptex.sky_gradient(64, 32))
+        checker = b.import_procedural(ptex.checker(32, 4))
+        mat = b.create_material(albedo=(0.9, 0.6, 0.3), albedo_tex=checker)
+        b.add_instance(
+            b.add_mesh(uv_sphere(2.0, n_lat=8, n_lon=12), materials_start=mat)
+        )
+        return b.build()
+
+    scene_r = build()  # resident tables (normal budget)
+    assert scene_r.clusters.geo_stream is None
+
+    # same scene with the budget forced to 0: the builder adds geo_stream
+    # and every pallas call takes the streamed path
+    monkeypatch.setattr(tp, "VMEM_TABLE_BUDGET", 0)
+    scene_s = build()
+    assert scene_s.clusters.geo_stream is not None
+    assert rp.fused_path_available(scene_s, True, True)
+
+    _, o, d = _camera_rays(48, 32)
+    monkeypatch.setattr(tp, "VMEM_TABLE_BUDGET", 12 << 20)
+    hr = tp.trace_pallas(scene_r, o, d)
+    monkeypatch.setattr(tp, "VMEM_TABLE_BUDGET", 0)
+    hs = tp.trace_pallas(scene_s, o, d)
+    assert hs.attr_normal is not None  # pallas path, not wavefront fallback
+    np.testing.assert_array_equal(np.asarray(hr.t), np.asarray(hs.t))
+    np.testing.assert_array_equal(np.asarray(hr.tri), np.asarray(hs.tri))
+    np.testing.assert_array_equal(
+        np.asarray(hr.attr_uu), np.asarray(hs.attr_uu)
+    )
+
+    # fused camera-mode frame: streamed vs resident kernel, same scene
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), 48, 32)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
+    img_s = np.asarray(trace_image(scene_s, frame, 48, 32,
+                                   tracer=tp.trace_pallas))
+    monkeypatch.setattr(tp, "VMEM_TABLE_BUDGET", 12 << 20)
+    img_r = np.asarray(trace_image(scene_r, frame, 48, 32,
+                                   tracer=tp.trace_pallas))
+    np.testing.assert_array_equal(img_s, img_r)
