@@ -59,12 +59,19 @@ def build_scene(spec: str, tris: int = 4096):
         mat = b.create_material(albedo=(0.7, 0.7, 0.9))
         mesh = b.add_mesh(sphere_field(n_side=6, n_lat=16, n_lon=32), materials_start=mat)
         b.add_instance(mesh)
+    elif spec.endswith(".clsnap.npz"):
+        # full-scene checkpoint: restore exact runtime state (instances,
+        # live material edits, cluster tables) — no re-import/rebuild
+        from clraytracer_tpu.scene.checkpoint import load_scene
+
+        scene, _ = load_scene(spec)
+        return scene
     else:
         path = Path(spec)
         if not path.exists():
             raise SystemExit(
                 f"error: scene '{spec}' is neither a named scene "
-                f"(sphere, two, field) nor an existing OBJ path"
+                f"(sphere, two, field) nor an existing OBJ/.clsnap path"
             )
         mesh = b.import_mesh(path)
         b.add_instance(mesh)
@@ -84,6 +91,16 @@ def _camera(args):
         args.width,
         args.height,
     )
+
+
+def cmd_snapshot(args) -> int:
+    from clraytracer_tpu.scene.checkpoint import save_scene
+    from clraytracer_tpu.utils.logging import log_info
+
+    scene = build_scene(args.scene, args.tris)
+    save_scene(scene, args.output)
+    log_info("wrote %s", args.output)
+    return 0
 
 
 def cmd_render(args) -> int:
@@ -263,6 +280,7 @@ def main(argv: list[str] | None = None) -> int:
         p.add_argument("--tracer", default="wavefront")
 
     p = sub.add_parser("render", help="render a frame to PNG")
+    # (scene specs accept .clsnap.npz checkpoints everywhere --scene does)
     common(p)
     p.add_argument("-o", "--output", default="render.png")
     p.add_argument("--fxaa", action="store_true")
@@ -289,6 +307,14 @@ def main(argv: list[str] | None = None) -> int:
     common(p)
     p.add_argument("--iters", type=int, default=4)
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser(
+        "snapshot",
+        help="save a scene's full runtime state to a .clsnap.npz checkpoint",
+    )
+    common(p)
+    p.add_argument("-o", "--output", default="scene.clsnap.npz")
+    p.set_defaults(fn=cmd_snapshot)
 
     args = ap.parse_args(argv)
     return args.fn(args)
