@@ -36,7 +36,7 @@ def _compile() -> Path | None:
     srcs = [str(_NATIVE_DIR / s) for s in _SOURCES]
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        "-o", str(out), *srcs,
+        "-pthread", "-o", str(out), *srcs,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

@@ -73,3 +73,21 @@ def test_native_bvh_multi_mesh():
     assert b is not None
     validate_bvh(b, a.count + c.count)
     assert set(b.perm[: a.count]) == set(range(a.count))
+
+
+@needs_native
+def test_native_bvh_parallel_path_deterministic():
+    """Above the sequential cutoff (16k tris) the builder fans subtrees out
+    to worker threads with task-local node pools; the merged tree must be
+    bit-identical across runs (checkpoints and build-twice tests rely on
+    deterministic builds) and still satisfy every invariant."""
+    from clraytracer_tpu.scene.procedural import sphere_field
+
+    mesh = sphere_field(n_side=5, n_lat=14, n_lon=28)
+    assert mesh.count > 16384  # actually exercises the parallel phase
+    a = build_bvh_native(mesh.v0, mesh.v1, mesh.v2, [mesh.count], max_leaf=32)
+    b = build_bvh_native(mesh.v0, mesh.v1, mesh.v2, [mesh.count], max_leaf=32)
+    assert a is not None and b is not None
+    validate_bvh(a, mesh.count)
+    for f in ("node_min", "node_max", "left_first", "tri_count", "perm"):
+        np.testing.assert_array_equal(getattr(a, f), getattr(b, f))
