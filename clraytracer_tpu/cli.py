@@ -180,6 +180,99 @@ def cmd_grads(args) -> int:
     return 0
 
 
+def cmd_fit(args) -> int:
+    """Inverse rendering: recover scene parameters from a target image.
+
+    The end-to-end "training loop" demo of the differentiable path
+    (SURVEY.md §7 step 7): render a target with the true scene, scramble
+    the chosen parameter group, and Adam-descend the image L2 back. Prints
+    a JSON report (loss curve, recovered-parameter error) and optionally
+    writes before/after renders and a .clsnap checkpoint."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from clraytracer_tpu.diff import render_image_diff
+    from clraytracer_tpu.render import frame_inputs_from_camera, save_png
+    from clraytracer_tpu.utils.logging import log_info
+
+    scene_true = jax.device_put(build_scene(args.scene, args.tris))
+    cam = _camera(args)
+    frame = frame_inputs_from_camera(cam, args.sun_angle)
+    w, h = args.width, args.height
+
+    target = render_image_diff(scene_true, frame, w, h, bounces=args.bounces)
+
+    group = args.fit_param  # "albedo" | "texels"
+    leaf = {
+        "albedo": scene_true.materials.albedo,
+        "texels": scene_true.atlas.texels,
+    }[group]
+    key = jax.random.PRNGKey(args.seed)
+    init = jnp.clip(
+        jnp.full_like(leaf, 0.5)
+        + 0.1 * jax.random.normal(key, leaf.shape, leaf.dtype),
+        0.0,
+        1.0,
+    )
+
+    def with_param(p):
+        if group == "albedo":
+            return scene_true.replace(
+                materials=scene_true.materials.replace(albedo=p)
+            )
+        return scene_true.replace(atlas=scene_true.atlas.replace(texels=p))
+
+    opt = optax.adam(args.lr)
+
+    @jax.jit
+    def step(p, opt_state):
+        def loss_fn(q):
+            img = render_image_diff(
+                with_param(q), frame, w, h, bounces=args.bounces
+            )
+            return jnp.mean((img - target) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    p, opt_state = init, opt.init(init)
+    losses = []
+    if args.output:
+        save_png(args.output.replace(".png", "_init.png"),
+                 render_image_diff(with_param(p), frame, w, h,
+                                   bounces=args.bounces))
+    for i in range(args.steps):
+        p, opt_state, loss = step(p, opt_state)
+        losses.append(float(loss))
+        if i % max(1, args.steps // 10) == 0:
+            log_info("fit step %d: loss %.6g", i, float(loss))
+    err0 = float(jnp.abs(init - leaf).mean())
+    err1 = float(jnp.abs(p - leaf).mean())
+    report = {
+        "param": group,
+        "steps": args.steps,
+        "loss_first": losses[0],
+        "loss_last": losses[-1],
+        "param_mae_init": err0,
+        "param_mae_final": err1,
+    }
+    print(json.dumps(report, indent=2))
+    if args.output:
+        save_png(args.output,
+                 render_image_diff(with_param(p), frame, w, h,
+                                   bounces=args.bounces))
+        log_info("wrote %s", args.output)
+    if args.save_snapshot:
+        from clraytracer_tpu.scene.checkpoint import save_scene
+
+        save_scene(with_param(p), args.save_snapshot,
+                   extras={"fit": report})
+        log_info("wrote %s", args.save_snapshot)
+    return 0
+
+
 def cmd_sweep(args) -> int:
     """Scaling sweep: rays/s at 1, 2, 4, ... N devices (BASELINE config 5).
 
@@ -307,6 +400,21 @@ def main(argv: list[str] | None = None) -> int:
     common(p)
     p.add_argument("--iters", type=int, default=4)
     p.set_defaults(fn=cmd_sweep)
+
+    p = sub.add_parser(
+        "fit", help="inverse rendering: recover parameters from a target"
+    )
+    common(p)
+    p.add_argument("--fit-param", choices=("albedo", "texels"),
+                   default="albedo")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--lr", type=float, default=5e-2)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("-o", "--output", default=None,
+                   help="write the recovered render here (+ _init.png)")
+    p.add_argument("--save-snapshot", default=None,
+                   help="write the fitted scene as a .clsnap.npz")
+    p.set_defaults(fn=cmd_fit)
 
     p = sub.add_parser(
         "snapshot",

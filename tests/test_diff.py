@@ -133,3 +133,25 @@ def test_vertex_gradient_matches_finite_difference(frame, weights):
         2 * eps
     )
     np.testing.assert_allclose(fd, gv[tri_id, axis], rtol=8e-2, atol=5e-4)
+
+
+def test_fit_cli_recovers_albedo(tmp_path, capsys):
+    """End-to-end inverse rendering loop: the fit command's Adam descent on
+    material albedo must collapse the image loss by orders of magnitude."""
+    import json
+    import sys
+
+    from clraytracer_tpu.cli import main
+
+    argv = sys.argv
+    try:
+        sys.argv = [
+            "clrt", "fit", "--scene", "two", "--width", "32", "--height",
+            "24", "--steps", "40", "--lr", "0.08",
+        ]
+        assert main() == 0
+    finally:
+        sys.argv = argv
+    report = json.loads(capsys.readouterr().out)
+    assert report["loss_last"] < report["loss_first"] * 0.1
+    assert report["param_mae_final"] < report["param_mae_init"]
