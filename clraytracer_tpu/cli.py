@@ -119,6 +119,7 @@ def cmd_render(args) -> int:
         sun_angle=args.sun_angle,
         enable_fxaa=args.fxaa,
         enable_post=not args.no_post,
+        enable_shadows=args.shadows,
     )
     t0 = time.perf_counter()
     if getattr(args, "profile_dir", None):
@@ -378,6 +379,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("-o", "--output", default="render.png")
     p.add_argument("--fxaa", action="store_true")
     p.add_argument("--no-post", action="store_true")
+    p.add_argument("--shadows", action="store_true",
+                   help="sun shadow rays (beyond the reference: its TODO)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace (TensorBoard format) here")
     p.set_defaults(fn=cmd_render)

@@ -42,6 +42,10 @@ class RenderConfig:
     # the call is commented out (kernel_main.cl:349) — here it is a toggle.
     enable_post: bool = True
     enable_fxaa: bool = False
+    # Sun shadow rays on primary hits. The reference declares the shadow
+    # factor but never implements it (kernel_main.cl:258, README.md:11
+    # "TODO shadows"); off by default for reference parity.
+    enable_shadows: bool = False
     # Reproduce the reference kernel's hard-coded shading constants
     # (kernel_main.cl:248-250 override material specular/roughness/shininess).
     reference_parity_shading: bool = True

@@ -383,6 +383,7 @@ def shade_hits(
     reference_parity: bool = True,
     integer_colors: bool = True,
     attrs: tuple[Array, Array, Array, Array] | None = None,
+    shadow_tracer=None,  # Tracer | None: sun-occlusion query (shadows)
 ) -> BounceState:
     """Apply one bounce of shading + update throughput (planar).
 
@@ -524,7 +525,17 @@ def shade_hits(
     new_direction = planar.reflect(state.direction, normal)
 
     # ---- Phong shade (kernel_main.cl:258-271) -----------------------------
+    # ``shadow`` is the reference's declared-but-unimplemented sun-shadow
+    # factor (kernel_main.cl:258, README.md:11 "TODO shadows"); with a
+    # shadow_tracer we implement it: one occlusion trace from the epsilon-
+    # offset hit point toward the sun kills the direct terms (diffuse,
+    # specular highlight, and the specular energy carry) but not ambient.
     shadow = 1.0
+    if shadow_tracer is not None:
+        to_sun = -state.light_dir
+        sh_origin = planar.where(hit, new_origin, jnp.zeros_like(new_origin))
+        occ = shadow_tracer(scene, sh_origin, to_sun)
+        shadow = jnp.where(hit & occ.hit, 0.0, 1.0)
     ndl_raw = planar.dot(normal, -state.light_dir)
     ambient = planar.scale(
         state.atmospheric * color, jnp.maximum(-ndl_raw, 0.1)
@@ -538,10 +549,10 @@ def shade_hits(
         spec_pow = rdm
     else:
         spec_pow = _pow_fast(rdm, shininess)
-    spec_light = ndl * spec_pow * 0.2
+    spec_light = ndl * spec_pow * 0.2 * shadow
 
     contrib = (
-        planar.scale(state.energy * color, ndl)
+        planar.scale(state.energy * color, ndl * shadow)
         + ambient
         + spec_light[None]
     )

@@ -83,6 +83,7 @@ def trace_planar(
     tracer: Tracer,
     reference_parity: bool,
     integer_colors: bool,
+    enable_shadows: bool = False,
 ) -> Array:
     """N-bounce trace + shade over planar rays; returns [3, *spatial]
     radiance. Shading reconstructs the object-space ray of the winning
@@ -116,7 +117,7 @@ def trace_planar(
 
     result = bounce_loop(
         scene, origin, direction, sun_angle, bounces, tracer,
-        reference_parity, integer_colors,
+        reference_parity, integer_colors, enable_shadows,
     )
     return result.reshape(3, -1)[:, :n].reshape((3,) + spatial)
 
@@ -130,6 +131,7 @@ def bounce_loop(
     tracer: Tracer,
     reference_parity: bool,
     integer_colors: bool,
+    enable_shadows: bool = False,
 ) -> Array:
     """The N-bounce trace+shade core over ray-linear rays (no relayouts).
 
@@ -139,7 +141,7 @@ def bounce_loop(
     trace, shade, and reflect per bounce without leaving VMEM; only the
     deferred skybox add runs in XLA (ops/render_pallas.py). Matches the
     two-phase path below to float precision (1080p frame 20.0 -> 6.9 ms)."""
-    if tracer is trace_pallas:
+    if tracer is trace_pallas and not enable_shadows:
         from clraytracer_tpu.ops.render_pallas import (
             fused_path_available,
             render_fused,
@@ -149,7 +151,7 @@ def bounce_loop(
             return render_fused(scene, origin, direction, sun_angle, bounces)
 
     state = initial_bounce_state(origin, direction, sun_angle)
-    for _ in range(bounces):
+    for b in range(bounces):
         hit = tracer(scene, state.origin, state.direction)
         attrs = None
         if hit.attr_normal is not None:
@@ -166,6 +168,7 @@ def bounce_loop(
             reference_parity=reference_parity,
             integer_colors=integer_colors,
             attrs=attrs,
+            shadow_tracer=tracer if (enable_shadows and b == 0) else None,
         )
     return state.result
 
@@ -179,6 +182,7 @@ def trace_image(
     tracer: Tracer = trace_wavefront,
     reference_parity: bool = True,
     integer_colors: bool = True,
+    enable_shadows: bool = False,
 ) -> Array:
     """Linear [H, W, 3] radiance before post-processing — the Trace kernel's
     output image (kernel_main.cl:164-275).
@@ -195,7 +199,7 @@ def trace_image(
 
     result, trows, tiles_x, tiles_y = _trace_tiled(
         scene, frame, width, height, bounces, tracer,
-        reference_parity, integer_colors,
+        reference_parity, integer_colors, enable_shadows,
     )
     img = _untile(result, trows, tiles_x, tiles_y, height, width)
     return planar.to_last(img, (height, width))
@@ -210,6 +214,7 @@ def _trace_tiled(
     tracer: Tracer,
     reference_parity: bool,
     integer_colors: bool,
+    enable_shadows: bool = False,
 ) -> tuple[Array, int, int, int]:
     """Trace the frame in screen-tile order; returns the raw
     ``[3, rows, 128]`` radiance plus the tile geometry (trows, tiles_x,
@@ -220,7 +225,7 @@ def _trace_tiled(
     tiles_x = -(-width // 128)
     tiles_y = -(-height // trows)
     result = None
-    if tracer is trace_pallas:
+    if tracer is trace_pallas and not enable_shadows:
         from clraytracer_tpu.ops import render_pallas as rp
 
         if rp.fused_path_available(scene, reference_parity, integer_colors):
@@ -237,7 +242,7 @@ def _trace_tiled(
         )
         result = bounce_loop(
             scene, origin, dirs, frame.sun_angle, bounces, tracer,
-            reference_parity, integer_colors,
+            reference_parity, integer_colors, enable_shadows,
         )
     return result, trows, tiles_x, tiles_y
 
@@ -271,6 +276,7 @@ def render_frame(
         result, trows, tiles_x, tiles_y = _trace_tiled(
             scene, frame, config.width, config.height, config.bounces,
             tracer, config.reference_parity_shading, config.integer_colors,
+            config.enable_shadows,
         )
         result = post_process_tiled(
             result, config.width, config.height, trows, tiles_x
@@ -287,6 +293,7 @@ def render_frame(
         tracer=tracer,
         reference_parity=config.reference_parity_shading,
         integer_colors=config.integer_colors,
+        enable_shadows=config.enable_shadows,
     )
     if config.enable_post:
         img = post_process(img, enable_fxaa=config.enable_fxaa)
