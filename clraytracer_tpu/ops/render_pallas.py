@@ -91,6 +91,7 @@ def _make_render_kernel(
     bounces: int,
     cam: tuple[int, int, int, int] | None = None,
     stream: bool = False,
+    shadows: bool = False,
 ):
     """``cam = (trows, tiles_x, width, height)`` selects in-kernel raygen:
     instead of six [ROWS, 128] ray inputs streamed from HBM, the kernel
@@ -305,6 +306,39 @@ def _make_render_kernel(
                     jnp.floor(mat_b * texel[c] * (1.0 / 256.0)) * _U8
                 )
 
+            # ---- in-kernel sun shadows (bounce 0 only, ops/shade.py's
+            # shadow_tracer semantics): one more traversal from the
+            # epsilon-offset hit point toward the sun — hs_ref is reused
+            # (every shading input is already in registers) -----------------
+            if shadows and _b == 0:
+                so = [(mo[c] + md[c] * t) + n[c] * 0.01 for c in range(3)]
+                sd = [zero, zero - sun_ref[0, 0], zero - sun_ref[0, 1]]
+                hs_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
+
+                def sh_traverse(so=so, sd=sd):
+                    _emit_traversal(
+                        (so[0], so[1], so[2], sd[0], sd[1], sd[2]),
+                        hs_ref,
+                        ROWS,
+                        instance_ranges,
+                        "geom",
+                        inst_ref,
+                        scab_ref,
+                        clab_ref,
+                        *tables,
+                        sc_scratch,
+                        sk_scratch,
+                        cl_scratch,
+                        stream=stream_refs,
+                    )
+
+                pl.when(jnp.any(live))(sh_traverse)
+                shadow = jnp.where(
+                    live & (hs_ref[0:ROWS, :] < _BIG), 0.0, 1.0
+                )
+            else:
+                shadow = None  # statically absent: compile unchanged
+
             # ---- Phong, reference-parity overrides (kernel_main.cl:248-271,
             # spec 0.2 / rough 0.5 / shininess 1) ---------------------------
             ndl_raw = (
@@ -312,21 +346,27 @@ def _make_render_kernel(
             )
             amb_m = jnp.maximum(-ndl_raw, 0.1)
             ndl = jnp.maximum(ndl_raw, 0.0)
-            spec_s = (0.5 * ndl) * ndl  # ((1-rough)*ndl)*shadow*ndl, shadow=1
+            if shadow is None:
+                spec_s = (0.5 * ndl) * ndl  # ((1-rough)*ndl)*shadow*ndl
+            else:
+                spec_s = (0.5 * ndl) * shadow * ndl
             # refl_light = reflect(-light, n); dot(n, -light) == ndl_raw
             rl = [(-light[c]) - n[c] * (2.0 * ndl_raw) for c in range(3)]
             rdm = jnp.maximum(
                 rl[0] * md[0] + rl[1] * md[1] + rl[2] * md[2], 0.0
             )
             spec_light = (ndl * rdm) * 0.2  # shininess-1 parity: pow skipped
+            if shadow is not None:
+                spec_light = spec_light * shadow
 
             # next ray: origin = object-space hit point + n*0.01 (the
             # reference reuses the object-space point as the next world
             # origin); direction = reflect(d, n)
             ndd = n[0] * d[0] + n[1] * d[1] + n[2] * d[2]
+            dif = ndl if shadow is None else ndl * shadow
             for c in range(3):
                 contrib = (
-                    (energy[c] * color[c]) * ndl
+                    (energy[c] * color[c]) * dif
                     + (float(atm[c]) * color[c]) * amb_m
                 ) + spec_light
                 result[c] = jnp.where(live, result[c] + contrib, result[c])
@@ -353,7 +393,7 @@ def _make_render_kernel(
     jax.jit,
     static_argnames=(
         "instance_ranges", "rows", "tex_descs", "bounces", "cam", "n_tiles",
-        "stream",
+        "stream", "shadows",
     ),
 )
 def _render_tiles(
@@ -372,13 +412,14 @@ def _render_tiles(
     cam: tuple[int, int, int, int] | None = None,
     n_tiles: int | None = None,
     stream: bool = False,
+    shadows: bool = False,
 ):
     if cam is None:
         n_tiles = rays6[0].shape[0]
     ROWS = rows
     kernel = _make_render_kernel(
         instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam,
-        stream,
+        stream, shadows,
     )
     on_tpu = jax.default_backend() == "tpu"
     interpret = (
@@ -460,6 +501,7 @@ def render_fused(
     sun_angle: Array,
     bounces: int,
     rows: int | None = None,
+    enable_shadows: bool = False,
 ) -> Array:
     """Full bounce loop in one kernel → [3, rows, 128] radiance (pre-post).
 
@@ -512,6 +554,7 @@ def render_fused(
         tex_descs,
         bounces,
         stream=stream,
+        shadows=enable_shadows,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
@@ -538,6 +581,7 @@ def render_fused_camera(
     height: int,
     bounces: int,
     rows: int | None = None,
+    enable_shadows: bool = False,
 ) -> Array:
     """Fused frame with **in-kernel raygen** → [3, rows_total, 128] radiance
     in screen-tile order (the layout render.trace_image untiles).
@@ -602,6 +646,7 @@ def render_fused_camera(
         cam=(trows, tiles_x, width, height),
         n_tiles=n_tiles,
         stream=stream,
+        shadows=enable_shadows,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]

@@ -141,14 +141,15 @@ def bounce_loop(
     trace, shade, and reflect per bounce without leaving VMEM; only the
     deferred skybox add runs in XLA (ops/render_pallas.py). Matches the
     two-phase path below to float precision (1080p frame 20.0 -> 6.9 ms)."""
-    if tracer is trace_pallas and not enable_shadows:
+    if tracer is trace_pallas:
         from clraytracer_tpu.ops.render_pallas import (
             fused_path_available,
             render_fused,
         )
 
         if fused_path_available(scene, reference_parity, integer_colors):
-            return render_fused(scene, origin, direction, sun_angle, bounces)
+            return render_fused(scene, origin, direction, sun_angle, bounces,
+                                enable_shadows=enable_shadows)
 
     state = initial_bounce_state(origin, direction, sun_angle)
     for b in range(bounces):
@@ -225,13 +226,14 @@ def _trace_tiled(
     tiles_x = -(-width // 128)
     tiles_y = -(-height // trows)
     result = None
-    if tracer is trace_pallas and not enable_shadows:
+    if tracer is trace_pallas:
         from clraytracer_tpu.ops import render_pallas as rp
 
         if rp.fused_path_available(scene, reference_parity, integer_colors):
             # in-kernel raygen: no per-ray inputs at all (render_pallas)
             result = rp.render_fused_camera(
-                scene, frame, width, height, bounces
+                scene, frame, width, height, bounces,
+                enable_shadows=enable_shadows,
             )
     if result is None:
         dirs = ray_directions_tiled(

@@ -72,3 +72,37 @@ def test_shadow_mask_consistent_across_tracers():
     b = np.asarray(trace_image(scene, frame, w, h, tracer=trace_bvh,
                                enable_shadows=True))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fused_kernel_shadows_match_wavefront():
+    """The fused Pallas megakernel's in-kernel shadow pass (second
+    traversal from the offset hit point toward the sun) must agree with
+    the two-phase XLA shadow path."""
+    from clraytracer_tpu import math3d
+    from clraytracer_tpu.ops import render_pallas as rp
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
+
+    b = SceneBuilder()
+    b.import_procedural(ptex.sky_gradient(32, 16))
+    checker = b.import_procedural(ptex.checker(16, 4))
+    ground = b.create_material(albedo=(0.85, 0.85, 0.85), albedo_tex=checker)
+    red = b.create_material(albedo=(0.9, 0.2, 0.2))
+    b.add_instance(b.add_mesh(quad(8.0, y=0.0), materials_start=ground))
+    b.add_instance(
+        b.add_mesh(uv_sphere(1.0, n_lat=8, n_lon=14), materials_start=red),
+        math3d.translation(0.0, 1.6, 0.0),
+    )
+    scene = b.build()
+    assert rp.fused_path_available(scene, True, True)
+
+    w, h = 48, 32
+    frame = _frame(w, h)
+    ref = np.asarray(trace_image(scene, frame, w, h, tracer=trace_wavefront,
+                                 enable_shadows=True))
+    fused = np.asarray(trace_image(scene, frame, w, h, tracer=trace_pallas,
+                                   enable_shadows=True))
+    close = np.isclose(ref, fused, atol=1e-3).all(axis=-1)
+    assert close.mean() > 0.99, close.mean()
+    # and the shadow actually fires in the fused image too
+    lit = np.asarray(trace_image(scene, frame, w, h, tracer=trace_pallas))
+    assert ((lit - fused).max(axis=-1) > 0.05).mean() > 0.005
