@@ -326,6 +326,14 @@ def to_srgb_u8(img: np.ndarray) -> np.ndarray:
 
 
 def save_png(path: str, img: np.ndarray) -> None:
+    """Write the frame as PNG, row-flipped for display.
+
+    The frame buffer is bottom-up, exactly like the reference's: its RayGen
+    maps row j=0 to NDC y=-1 (kernel_main.cl:280-281) and OpenGL's blit
+    presents texture row 0 at the window bottom. PNG row 0 is the top, so
+    export performs the flip the GL present did — picking coordinates
+    (top-left mouse origin, camera.screen_point_to_ray's y flip,
+    Camera.hpp:112) then agree with PNG pixel positions."""
     from PIL import Image
 
-    Image.fromarray(to_srgb_u8(img)).save(path)
+    Image.fromarray(to_srgb_u8(img)[::-1]).save(path)

@@ -67,7 +67,7 @@ def main() -> None:
         engine.end_frame()
         path = os.path.join(args.output, f"frame_{i:04d}.png")
         save_png(path, img)
-        frames.append(to_srgb_u8(img))
+        frames.append(to_srgb_u8(img)[::-1])  # display flip, as save_png
         print(f"frame {i + 1}/{args.frames} -> {path}", flush=True)
     dt = time.perf_counter() - t0
     print(f"{args.frames} frames in {dt:.1f} s ({dt / args.frames * 1e3:.0f} ms avg)")
