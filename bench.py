@@ -29,6 +29,11 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--tracer", default=None, help="tracer name (default: best)")
     ap.add_argument("--tris", type=int, default=4096, help="approx triangle count")
+    ap.add_argument("--scene", default=None,
+                    help="named scene or path (.obj/.clm/.clsnap.npz); "
+                    "default: the built-in textured-sphere config-2 scene")
+    ap.add_argument("--camera-pos", type=float, nargs=3, default=None)
+    ap.add_argument("--yaw", type=float, default=-90.0)
     args = ap.parse_args()
 
     import jax
@@ -44,18 +49,26 @@ def main() -> None:
     n_lat = max(4, int((args.tris / 4) ** 0.5) + 1)
     n_lon = 2 * n_lat
 
-    b = SceneBuilder()
-    b.import_procedural(ptex.sky_gradient(512, 256))
-    checker = b.import_procedural(ptex.checker(128, 8))
-    mat = b.create_material(
-        albedo=(0.9, 0.6, 0.3), albedo_tex=checker, shininess=1.0, roughness=0.4
-    )
-    mesh = b.add_mesh(uv_sphere(2.0, n_lat=n_lat, n_lon=n_lon), materials_start=mat)
-    b.add_instance(mesh)
-    scene = jax.device_put(b.build())
+    if args.scene:
+        from clraytracer_tpu.cli import build_scene
 
+        scene = jax.device_put(build_scene(args.scene, args.tris))
+        scene_label = args.scene.rsplit("/", 1)[-1]
+    else:
+        b = SceneBuilder()
+        b.import_procedural(ptex.sky_gradient(512, 256))
+        checker = b.import_procedural(ptex.checker(128, 8))
+        mat = b.create_material(
+            albedo=(0.9, 0.6, 0.3), albedo_tex=checker, shininess=1.0, roughness=0.4
+        )
+        mesh = b.add_mesh(uv_sphere(2.0, n_lat=n_lat, n_lon=n_lon), materials_start=mat)
+        b.add_instance(mesh)
+        scene = jax.device_put(b.build())
+        scene_label = "sphere scene"
+
+    pos = tuple(args.camera_pos) if args.camera_pos else (0.13, 0.21, 10.0)
     cam = Camera.create(
-        CameraConfig(position=(0.13, 0.21, 10.0)), args.width, args.height
+        CameraConfig(position=pos, yaw_deg=args.yaw), args.width, args.height
     )
     config = RenderConfig(width=args.width, height=args.height)
     frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
@@ -108,7 +121,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"fwd rays/s, {args.width}x{args.height}x"
-                f"{config.bounces}bounce sphere scene, tracer={tracer_name}",
+                f"{config.bounces}bounce {scene_label}, tracer={tracer_name}",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 1000.0, 4),
