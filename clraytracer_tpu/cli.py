@@ -59,6 +59,26 @@ def build_scene(spec: str, tris: int = 4096):
         mat = b.create_material(albedo=(0.7, 0.7, 0.9))
         mesh = b.add_mesh(sphere_field(n_side=6, n_lat=16, n_lon=32), materials_start=mat)
         b.add_instance(mesh)
+    elif spec == "museum":
+        # the three reference .clm scenes as one multi-instance scene
+        # (~160k tris — cluster tables exceed the VMEM budget, so this is
+        # the HBM-streamed Pallas path's benchmark scene). Needs a texture
+        # pool past the reference's 32-cap: the three scenes together carry
+        # ~45 textures
+        from clraytracer_tpu.config import PoolConfig
+        from clraytracer_tpu.scene import SceneBuilder as _SB
+
+        ref = Path("/root/reference/CLRayTracer/Assets")
+        if not ref.exists():
+            raise SystemExit("error: museum scene needs the reference assets")
+        b = _SB(PoolConfig(max_textures=64))
+        b.import_procedural(ptex.sky_gradient(512, 256))
+        sponza = b.import_mesh(ref / "sponza/sponza.clm")
+        sibenik = b.import_mesh(ref / "sibenik/sibenik.clm")
+        nanosuit = b.import_mesh(ref / "nanosuit/nanosuit.clm")
+        b.add_instance(sponza)
+        b.add_instance(sibenik, math3d.translation(0.0, 25.0, 0.0))
+        b.add_instance(nanosuit, math3d.translation(0.0, 0.0, 3.0))
     elif spec.endswith(".clsnap.npz"):
         # full-scene checkpoint: restore exact runtime state (instances,
         # live material edits, cluster tables) — no re-import/rebuild
@@ -361,7 +381,7 @@ def main(argv: list[str] | None = None) -> int:
 
     def common(p):
         p.add_argument("--scene", default="sphere",
-                       help="sphere | two | field | path/to.obj")
+                       help="sphere | two | field | museum | path (.obj/.clm/.clsnap.npz)")
         p.add_argument("--width", type=int, default=1024)
         p.add_argument("--height", type=int, default=768)
         p.add_argument("--tris", type=int, default=4096)
