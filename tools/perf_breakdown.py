@@ -135,6 +135,10 @@ def main() -> None:
         "--mode", default="chain", choices=["chain", "profile"],
         help="chain = wall-clock difference; profile = device-trace op sums",
     )
+    ap.add_argument("--scene", default=None,
+                    help="scene spec override (cli.build_scene); the "
+                    "default is the procedural config-2 sphere")
+    ap.add_argument("--camera-pos", type=float, nargs=3, default=None)
     args = ap.parse_args()
 
     from clraytracer_tpu.camera import Camera, ray_directions_planar
@@ -162,8 +166,14 @@ def main() -> None:
         uv_sphere(2.0, n_lat=n_lat, n_lon=2 * n_lat), materials_start=mat
     )
     b.add_instance(mesh)
-    scene = jax.device_put(b.build())
-    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), W, H)
+    if args.scene:
+        from clraytracer_tpu.cli import build_scene
+
+        scene = jax.device_put(build_scene(args.scene, args.tris))
+    else:
+        scene = jax.device_put(b.build())
+    pos = tuple(args.camera_pos) if args.camera_pos else (0.13, 0.21, 10.0)
+    cam = Camera.create(CameraConfig(position=pos), W, H)
     frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
 
     def raygen(acc):
@@ -478,6 +488,29 @@ def main() -> None:
 
         return fn
 
+    def frame_shadows(acc):
+        cfg = RenderConfig(width=W, height=H, bounces=2, enable_post=False,
+                           enable_shadows=True)
+        img = render_frame(
+            scene,
+            frame._replace(sun_angle=frame.sun_angle + acc * 1e-20),
+            cfg,
+            tracer=trace_pallas,
+        )
+        return acc * 0.5 + jnp.sum(img) * 1e-6
+
+    def frame_tracer_b2(acc):
+        from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
+
+        cfg = RenderConfig(width=W, height=H, bounces=2, enable_post=False)
+        img = render_frame(
+            scene,
+            frame._replace(sun_angle=frame.sun_angle + acc * 1e-20),
+            cfg,
+            tracer=trace_wavefront,
+        )
+        return acc * 0.5 + jnp.sum(img) * 1e-6
+
     components = {
         "raygen": raygen,
         "tshade_bar": tshade_bar,
@@ -522,6 +555,8 @@ def main() -> None:
         "frame_b1": frame_fn(1, False),
         "frame_b2": frame_fn(2, False),
         "frame_post": frame_fn(2, True),
+        "frame_shadows": frame_shadows,
+        "frame_wavefront_b2": frame_tracer_b2,
     }
     if args.only:
         names = args.only.split(",")
