@@ -140,6 +140,7 @@ def cmd_render(args) -> int:
         enable_fxaa=args.fxaa,
         enable_post=not args.no_post,
         enable_shadows=args.shadows,
+        samples=args.spp,
     )
     t0 = time.perf_counter()
     if getattr(args, "profile_dir", None):
@@ -401,6 +402,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-post", action="store_true")
     p.add_argument("--shadows", action="store_true",
                    help="sun shadow rays (beyond the reference: its TODO)")
+    p.add_argument("--spp", type=int, default=1,
+                   help="sub-pixel samples per pixel (supersampling AA)")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace (TensorBoard format) here")
     p.set_defaults(fn=cmd_render)

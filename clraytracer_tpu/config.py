@@ -42,6 +42,9 @@ class RenderConfig:
     # the call is commented out (kernel_main.cl:349) — here it is a toggle.
     enable_post: bool = True
     enable_fxaa: bool = False
+    # Sub-pixel supersampling (beyond the reference, whose only AA is the
+    # FXAA it ships disabled): N jittered frames averaged before post.
+    samples: int = 1
     # Sun shadow rays on primary hits. The reference declares the shadow
     # factor but never implements it (kernel_main.cl:258, README.md:11
     # "TODO shadows"); off by default for reference parity.

@@ -261,6 +261,37 @@ def _untile(
     )
 
 
+def _sample_offsets(n: int) -> list[tuple[float, float]]:
+    """Sub-pixel sample offsets in [-0.5, 0.5): rotated-grid for 4 spp,
+    centered Halton(2,3) otherwise."""
+    if n == 4:
+        return [(-0.125, -0.375), (0.375, -0.125),
+                (-0.375, 0.125), (0.125, 0.375)]
+
+    def halton(i: int, b: int) -> float:
+        f, r = 1.0, 0.0
+        while i > 0:
+            f /= b
+            r += f * (i % b)
+            i //= b
+        return r
+
+    return [(halton(i + 1, 2) - 0.5, halton(i + 1, 3) - 0.5)
+            for i in range(n)]
+
+
+def jitter_projection(inverse_projection: Array, dx: float, dy: float) -> Array:
+    """Shift the unprojection by an NDC offset (dx, dy).
+
+    Every raygen path evaluates ``(cx, cy, 1, 1) @ invProj`` (row-vector,
+    kernel_main.cl:282); adding ``dx*invProj[0] + dy*invProj[1]`` to the
+    translation row is identical to shifting cx/cy — so one matrix edit
+    jitters the pure-XLA raygen AND the fused kernel's in-kernel raygen."""
+    return inverse_projection.at[3].add(
+        dx * inverse_projection[0] + dy * inverse_projection[1]
+    )
+
+
 def render_frame(
     scene: Scene,
     frame: FrameInputs,
@@ -268,6 +299,31 @@ def render_frame(
     tracer: Tracer = trace_wavefront,
 ) -> Array:
     """Full frame: trace + post chain. Returns [H, W, 3] display-ready."""
+    if config.samples > 1:
+        # supersampling (beyond the reference, whose only AA is the FXAA it
+        # ships disabled): N sub-pixel-jittered frames averaged before post
+        acc = None
+        for jx, jy in _sample_offsets(config.samples):
+            fj = frame._replace(
+                inverse_projection=jitter_projection(
+                    frame.inverse_projection,
+                    jx * 2.0 / config.width,
+                    jy * 2.0 / config.height,
+                )
+            )
+            img = trace_image(
+                scene, fj, config.width, config.height,
+                bounces=config.bounces, tracer=tracer,
+                reference_parity=config.reference_parity_shading,
+                integer_colors=config.integer_colors,
+                enable_shadows=config.enable_shadows,
+            )
+            acc = img if acc is None else acc + img
+        img = acc * (1.0 / config.samples)
+        if config.enable_post:
+            img = post_process(img, enable_fxaa=config.enable_fxaa)
+        return img
+
     if config.enable_post and not config.enable_fxaa:
         # post directly on the trace loop's tile layout — the elementwise
         # chain fuses with the deferred-skybox add, and the frame pays for

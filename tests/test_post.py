@@ -106,3 +106,58 @@ def test_tiled_post_matches_untiled_frame():
         )
     )
     np.testing.assert_allclose(fast, ref, atol=1e-6)
+
+
+def test_supersampling_average_and_jitter():
+    """spp=N averages N sub-pixel-jittered frames; the jittered projection
+    must act exactly like shifting NDC coordinates."""
+    import jax.numpy as jnp
+
+    from clraytracer_tpu.camera import Camera
+    from clraytracer_tpu.config import CameraConfig, RenderConfig
+    from clraytracer_tpu.render import (
+        _sample_offsets,
+        frame_inputs_from_camera,
+        jitter_projection,
+        render_frame,
+        trace_image,
+    )
+    from clraytracer_tpu.ops.post import post_process
+    from clraytracer_tpu.scene import SceneBuilder
+    from clraytracer_tpu.scene import procedural_tex as ptex
+    from clraytracer_tpu.scene.procedural import uv_sphere
+
+    b = SceneBuilder()
+    b.import_procedural(ptex.sky_gradient(32, 16))
+    m = b.create_material(albedo=(0.9, 0.4, 0.2))
+    b.add_instance(b.add_mesh(uv_sphere(1.5, 8, 14), materials_start=m))
+    scene = b.build()
+
+    w, h = 40, 30
+    cam = Camera.create(CameraConfig(position=(0.1, 0.2, 7.0)), w, h)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.9)
+
+    # jitter_projection == shifting cx/cy (row-vector algebra check)
+    ip = frame.inverse_projection
+    v = jnp.asarray([0.3, -0.2, 1.0, 1.0])
+    lhs = v @ jitter_projection(ip, 0.01, -0.02)
+    rhs = jnp.asarray([0.31, -0.22, 1.0, 1.0]) @ ip
+    np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-5)
+
+    cfg = RenderConfig(width=w, height=h, samples=4)
+    img4 = np.asarray(render_frame(scene, frame, cfg))
+
+    # equals the mean of the four manually jittered frames + one post pass
+    acc = None
+    for jx, jy in _sample_offsets(4):
+        fj = frame._replace(inverse_projection=jitter_projection(
+            ip, jx * 2.0 / w, jy * 2.0 / h))
+        im = trace_image(scene, fj, w, h)
+        acc = im if acc is None else acc + im
+    manual = np.asarray(post_process(acc * 0.25))
+    np.testing.assert_allclose(img4, manual, atol=1e-6)
+
+    # differs from the single-sample frame (edges moved sub-pixel)
+    img1 = np.asarray(render_frame(
+        scene, frame, RenderConfig(width=w, height=h)))
+    assert not np.allclose(img1, img4)
