@@ -192,7 +192,7 @@ def _make_render_kernel(
 
         for _b in range(bounces):
 
-            def traverse(o=o, d=d):
+            def traverse(o=o, d=d, live_mask=None):
                 _emit_traversal(
                     (o[0], o[1], o[2], d[0], d[1], d[2]),
                     hs_ref,
@@ -206,6 +206,7 @@ def _make_render_kernel(
                     sc_scratch,
                     sk_scratch,
                     cl_scratch,
+                    live=live_mask,
                     stream=stream_refs,
                 )
 
@@ -217,7 +218,9 @@ def _make_render_kernel(
                 # entirely; mark everything missed first so stale bounce-1
                 # hits can't leak through the skip
                 hs_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
-                pl.when(jnp.any(alive))(traverse)
+                pl.when(jnp.any(alive))(
+                    functools.partial(traverse, live_mask=alive)
+                )
             t = hs_ref[0:ROWS, :]
             binst = jax.lax.bitcast_convert_type(
                 hs_ref[4 * ROWS : 5 * ROWS, :], jnp.int32
@@ -315,7 +318,7 @@ def _make_render_kernel(
                 sd = [zero, zero - sun_ref[0, 0], zero - sun_ref[0, 1]]
                 hs_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
 
-                def sh_traverse(so=so, sd=sd):
+                def sh_traverse(so=so, sd=sd, live_mask=live):
                     _emit_traversal(
                         (so[0], so[1], so[2], sd[0], sd[1], sd[2]),
                         hs_ref,
@@ -329,6 +332,7 @@ def _make_render_kernel(
                         sc_scratch,
                         sk_scratch,
                         cl_scratch,
+                        live=live_mask,
                         stream=stream_refs,
                     )
 

@@ -91,6 +91,12 @@ def _emit_traversal(
     sc_scratch,  # SMEM [S_total] i32
     sk_scratch,  # SMEM [S_total] f32 supercluster min-tnear sort keys
     cl_scratch,  # SMEM [C_total] i32
+    live=None,  # optional [ROWS, 128] bool — lanes whose rays are still
+    #   alive. Dead lanes get best_t = -BIG, which fails every slab test's
+    #   ``tnear < best_t`` and every accept's ``t < best_t``: clusters whose
+    #   only interested lanes are dead are culled like any other miss, so a
+    #   mostly-terminated tile (bounce >= 2, shadow rays) pays phases A/B
+    #   only for its surviving rays' geometry. None = all lanes live.
     stream=None,  # (geo_ref [8C, 128] ANY, buf_ref [16, 128] VMEM,
     #   sem_ref DMA[2]) — HBM-streamed cluster geometry for scenes whose
     #   tables exceed VMEM (see trace_pallas_streamed). When set, the
@@ -129,7 +135,12 @@ def _emit_traversal(
             _dma(c, slot).wait()
     ox_w, oy_w, oz_w, dx_w, dy_w, dz_w = rays
 
-    hit_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
+    if live is None:
+        hit_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
+    else:
+        # dead lanes: -BIG best_t culls everything (see ``live`` above);
+        # callers mask their own consumption of t on dead lanes
+        hit_ref[0:ROWS, :] = jnp.where(live, _BIG, -_BIG)
     hit_ref[ROWS : 11 * ROWS, :] = jnp.zeros((10 * ROWS, 128), jnp.float32)
 
     if True:  # keep the instance-loop indentation stable

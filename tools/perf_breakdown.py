@@ -20,7 +20,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -572,7 +576,11 @@ def main() -> None:
 
     out = {}
     for name, fn in components.items():
-        dt = chain_time(fn, args.iters)
+        try:
+            dt = chain_time(fn, args.iters)
+        except Exception as e:  # one broken component must not kill the run
+            print(f"{name}: FAILED ({type(e).__name__}: {e})", flush=True)
+            continue
         out[name] = round(dt * 1e3, 3)
         print(f"{name}: {dt * 1e3:.3f} ms", flush=True)
 
