@@ -214,6 +214,9 @@ def _emit_traversal(
 
             jax.lax.fori_loop(0, na * stride, sort_pass, jnp.int32(0))
 
+            if variant == "culla":  # perf analysis: phase A + sort only
+                continue
+
             # ---- phase B: cluster culling (flat, traced bound) ------------
             def phase_b(j, cnt):
                 s = sc_scratch[j // SUPER_SIZE]
@@ -232,6 +235,19 @@ def _emit_traversal(
                 return cnt + keep.astype(jnp.int32)
 
             nb = jax.lax.fori_loop(0, na * SUPER_SIZE, phase_b, jnp.int32(0))
+
+            if variant == "cull":  # perf analysis: phases A+B only
+                continue
+
+            # Deferred attribute interpolation (resident tables): phase C
+            # tracks only (t, u, v, tri, inst); the 16 attribute loads + ~26
+            # interp/select vector ops per TESTED triangle move to a
+            # post-pass over WINNING clusters only (typically 1-3 per tile
+            # vs 5-15 tested). The streamed path keeps inline interpolation:
+            # its geometry buffer is overwritten per cluster, so a post-pass
+            # would need to re-DMA each winner.
+            defer = variant == "full" and stream is None
+            phase_c_variant = "noattr" if defer else variant
 
             # ---- phase C: dense leaf batches (flat, traced bound) ---------
             # Each surviving cluster is recheck-slab-tested against the
@@ -281,9 +297,9 @@ def _emit_traversal(
                     binst = jax.lax.bitcast_convert_type(
                         out_ref[4 * ROWS : 5 * ROWS, :], jnp.int32
                     )
-                    if variant == "geom":
+                    if phase_c_variant == "geom":
                         battr = ()
-                    elif variant == "noattr":
+                    elif phase_c_variant == "noattr":
                         battr = (
                             out_ref[ROWS : 2 * ROWS, :],
                             out_ref[2 * ROWS : 3 * ROWS, :],
@@ -346,9 +362,9 @@ def _emit_traversal(
                         slot = c * CLUSTER_SIZE + k
                         btri = jnp.where(ok, slot, btri)
                         binst = jnp.where(ok, jnp.int32(inst), binst)
-                        if variant == "geom":
+                        if phase_c_variant == "geom":
                             continue
-                        if variant == "noattr":
+                        if phase_c_variant == "noattr":
                             battr = (
                                 jnp.where(ok, u, battr[0]),
                                 jnp.where(ok, v, battr[1]),
@@ -391,10 +407,10 @@ def _emit_traversal(
                     out_ref[0:ROWS, :] = bt
                     out_ref[3 * ROWS : 4 * ROWS, :] = as_f32(btri)
                     out_ref[4 * ROWS : 5 * ROWS, :] = as_f32(binst)
-                    if variant != "geom":
+                    if phase_c_variant != "geom":
                         out_ref[ROWS : 2 * ROWS, :] = battr[0]
                         out_ref[2 * ROWS : 3 * ROWS, :] = battr[1]
-                    if variant == "full":
+                    if phase_c_variant == "full":
                         for fk, val in enumerate(battr[2:]):
                             out_ref[
                                 (5 + fk) * ROWS : (6 + fk) * ROWS, :
@@ -403,6 +419,97 @@ def _emit_traversal(
                 return carry
 
             jax.lax.fori_loop(0, nb, phase_c, jnp.int32(0))
+
+            if defer:
+                # ---- deferred attribute resolution over winning clusters --
+                # Re-walk this instance's survivor list; a cluster that won
+                # at least one lane interpolates its winners' attributes
+                # from the stored (u, v) — same expression tree as the
+                # inline path (w0*a0 + u*a1 + v*a2 in that order), so the
+                # result is bit-identical. Losing clusters cost one
+                # vector-compare + any-reduce instead of 32 interpolations.
+                def attr_resolve(j, carry):
+                    c = cl_scratch[j]
+                    btri = jax.lax.bitcast_convert_type(
+                        out_ref[3 * ROWS : 4 * ROWS, :], jnp.int32
+                    )
+                    binst = jax.lax.bitcast_convert_type(
+                        out_ref[4 * ROWS : 5 * ROWS, :], jnp.int32
+                    )
+                    # |t| < BIG excludes miss lanes (t = +BIG) and dead
+                    # lanes (t = -BIG), whose btri/binst are 0-defaults
+                    # that would otherwise match cluster 0 of instance 0
+                    mine = (
+                        (jnp.abs(out_ref[0:ROWS, :]) < _BIG)
+                        & (btri // CLUSTER_SIZE == c)
+                        & (binst == jnp.int32(inst))
+                    )
+
+                    @pl.when(jnp.any(mine))
+                    def _resolve():
+                        uu_ = out_ref[ROWS : 2 * ROWS, :]
+                        vv_ = out_ref[2 * ROWS : 3 * ROWS, :]
+                        w0 = 1.0 - uu_ - vv_
+                        acc = (
+                            out_ref[5 * ROWS : 6 * ROWS, :],
+                            out_ref[6 * ROWS : 7 * ROWS, :],
+                            out_ref[7 * ROWS : 8 * ROWS, :],
+                            out_ref[8 * ROWS : 9 * ROWS, :],
+                            out_ref[9 * ROWS : 10 * ROWS, :],
+                            out_ref[10 * ROWS : 11 * ROWS, :],
+                        )
+                        tabs = (ta_ref, tb_ref, tc_ref,
+                                aa_ref, ab_ref, ac_ref, ad_ref)
+                        g = lambda t, col: tabs[t][c, col]
+                        for k in range(CLUSTER_SIZE):
+                            ok = mine & (btri == c * CLUSTER_SIZE + k)
+                            n0x = g(3, k)
+                            n0y = g(3, 32 + k)
+                            n0z = g(3, 64 + k)
+                            n1x = g(3, 96 + k)
+                            n1y = g(4, k)
+                            n1z = g(4, 32 + k)
+                            n2x = g(4, 64 + k)
+                            n2y = g(4, 96 + k)
+                            n2z = g(5, k)
+                            uv0u = g(5, 32 + k)
+                            uv0v = g(5, 64 + k)
+                            uv1u = g(5, 96 + k)
+                            uv1v = g(6, k)
+                            uv2u = g(6, 32 + k)
+                            uv2v = g(6, 64 + k)
+                            matl = g(6, 96 + k)
+                            nx, ny, nz, uu2, vv2, mat = acc
+                            acc = (
+                                jnp.where(
+                                    ok, n0x * w0 + n1x * uu_ + n2x * vv_, nx
+                                ),
+                                jnp.where(
+                                    ok, n0y * w0 + n1y * uu_ + n2y * vv_, ny
+                                ),
+                                jnp.where(
+                                    ok, n0z * w0 + n1z * uu_ + n2z * vv_, nz
+                                ),
+                                jnp.where(
+                                    ok,
+                                    uv0u * w0 + uv1u * uu_ + uv2u * vv_,
+                                    uu2,
+                                ),
+                                jnp.where(
+                                    ok,
+                                    uv0v * w0 + uv1v * uu_ + uv2v * vv_,
+                                    vv2,
+                                ),
+                                jnp.where(ok, matl, mat),
+                            )
+                        for fk, val in enumerate(acc):
+                            out_ref[
+                                (5 + fk) * ROWS : (6 + fk) * ROWS, :
+                            ] = val
+
+                    return carry
+
+                jax.lax.fori_loop(0, nb, attr_resolve, jnp.int32(0))
 
 
 def _make_kernel(

@@ -531,6 +531,8 @@ def main() -> None:
         "trace_c_all": trace_consume("all"),
         "trace_noattr": trace_variant("noattr"),
         "trace_geom": trace_variant("geom"),
+        "trace_cull": trace_variant("cull"),
+        "trace_culla": trace_variant("culla"),
         "texel_rgb4": texel_rgb4,
         "texel_extpad": texel_extpad,
         "trace_all": trace_all,
