@@ -167,19 +167,20 @@ def _vignette_factors(n: int, size: int) -> Array:
 
 
 def vignette_mask_tiled(
-    width: int, height: int, trows: int, tiles_x: int, rows_total: int
+    width: int, height: int, layout: tuple, rows_total: int
 ) -> Array:
     """[rows_total, 128] vignette mask in the render loop's screen-tile
-    layout (camera.ray_directions_tiled's tile→pixel mapping). Pad lanes
-    (pixel outside the image) get u*(1-u) <= 0 → mask 0; they are cropped
-    by the caller's untile."""
+    layout (``("strip", trows, tiles_x, _)`` = camera.ray_directions_tiled's
+    tile→pixel mapping). Pad lanes (pixel outside the image) get
+    u*(1-u) <= 0 → mask 0; they are cropped by the caller's untile."""
     import jax
 
+    _kind, rows, nx, _ny = layout
     r = jax.lax.broadcasted_iota(jnp.int32, (rows_total, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows_total, 128), 1)
-    tile = r // trows
-    px = ((tile % tiles_x) * 128 + lane).astype(jnp.float32)
-    py = ((tile // tiles_x) * trows + r % trows).astype(jnp.float32)
+    tile = r // rows
+    px = ((tile % nx) * 128 + lane).astype(jnp.float32)
+    py = ((tile // nx) * rows + r % rows).astype(jnp.float32)
     u = px / width
     v = py / height
     fu = jnp.power(jnp.maximum(u * (1.0 - u) * jnp.sqrt(15.0), 0.0), 0.15)
@@ -191,8 +192,7 @@ def post_process_tiled(
     p: Array,  # [3, rows_total, 128] screen-tile-ordered radiance
     width: int,
     height: int,
-    trows: int,
-    tiles_x: int,
+    layout: tuple,  # tagged tile layout (render._trace_tiled)
     enable_vignette: bool = True,
 ) -> Array:
     """Post chain directly on the render loop's [3, rows, 128] tile layout —
@@ -201,7 +201,7 @@ def post_process_tiled(
     needs cross-pixel neighbours and is not available here; callers with
     ``enable_fxaa`` use :func:`post_process` on the untiled image."""
     vig = (
-        vignette_mask_tiled(width, height, trows, tiles_x, p.shape[1])
+        vignette_mask_tiled(width, height, layout, p.shape[1])
         if enable_vignette
         else None
     )

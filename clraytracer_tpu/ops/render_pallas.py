@@ -100,6 +100,12 @@ def _make_render_kernel(
     RayGen unprojection, kernel_main.cl:277-287, same expression order as
     camera._unproject_grid) — zero per-ray input traffic for the frame.
 
+    Tiles map to trows x 128 pixel strips (camera.ray_directions_tiled's
+    order). A 64 x 2*ROWS square-block mapping was measured too: it cut the
+    kernel ~4% (tighter tile frusta) but its untile transpose splits the
+    128-lane dim (granule 64) and cost +0.5 ms at 1080p — net slower, so
+    strips stay.
+
     ``stream`` swaps the VMEM cluster tables for the HBM ``geo_stream``
     array DMA'd per surviving cluster (ops/trace_pallas._emit_traversal) —
     the fused frame stays available past the VMEM table budget."""
@@ -413,7 +419,7 @@ def _render_tiles(
     rows: int,
     tex_descs: tuple,
     bounces: int,
-    cam: tuple[int, int, int, int] | None = None,
+    cam: tuple[int, int, int] | None = None,
     n_tiles: int | None = None,
     stream: bool = False,
     shadows: bool = False,
@@ -586,9 +592,10 @@ def render_fused_camera(
     bounces: int,
     rows: int | None = None,
     enable_shadows: bool = False,
-) -> Array:
-    """Fused frame with **in-kernel raygen** → [3, rows_total, 128] radiance
-    in screen-tile order (the layout render.trace_image untiles).
+) -> tuple[Array, tuple[int, int, int]]:
+    """Fused frame with **in-kernel raygen** → ([3, rows_total, 128]
+    radiance in trows x 128 screen-strip order, (trows, tiles_x, tiles_y))
+    — the same layout render._untile's "strip" branch inverts.
 
     The kernel derives each lane's pixel from its grid index and unprojects
     with camera matrices read from one SMEM row — the frame's only per-ray
@@ -664,4 +671,4 @@ def render_fused_camera(
     pk = scene.packed
     sky_idx = _skybox_index(pk.skybox_w, pk.skybox_h, pk.skybox_off, mdir)
     sky = _eval_skybox_inline(scene, sky_idx, pk.skybox_w, pk.skybox_off)
-    return res + sky * men
+    return res + sky * men, (trows, tiles_x, tiles_y)

@@ -196,13 +196,11 @@ def trace_image(
     __ ms/bounce at 1080p). The whole trace+shade loop runs relayout-free;
     the [H, W] image is materialized exactly once at the end by a pure
     reshape/transpose."""
-    from clraytracer_tpu.ops.trace_pallas import _tile_rows
-
-    result, trows, tiles_x, tiles_y = _trace_tiled(
+    result, layout = _trace_tiled(
         scene, frame, width, height, bounces, tracer,
         reference_parity, integer_colors, enable_shadows,
     )
-    img = _untile(result, trows, tiles_x, tiles_y, height, width)
+    img = _untile(result, layout, height, width)
     return planar.to_last(img, (height, width))
 
 
@@ -216,48 +214,47 @@ def _trace_tiled(
     reference_parity: bool,
     integer_colors: bool,
     enable_shadows: bool = False,
-) -> tuple[Array, int, int, int]:
+) -> tuple[Array, tuple]:
     """Trace the frame in screen-tile order; returns the raw
-    ``[3, rows, 128]`` radiance plus the tile geometry (trows, tiles_x,
-    tiles_y) needed to untile it."""
+    ``[3, rows, 128]`` radiance plus a tagged tile layout —
+    ``("strip", trows, tiles_x, tiles_y)``: each trows-row group covers a
+    trows x 128 pixel strip — needed to untile it (:func:`_untile`) and to
+    index pixels inside it (post.vignette masks)."""
     from clraytracer_tpu.ops.trace_pallas import _tile_rows
 
-    trows = _tile_rows(width * height)
-    tiles_x = -(-width // 128)
-    tiles_y = -(-height // trows)
-    result = None
     if tracer is trace_pallas:
         from clraytracer_tpu.ops import render_pallas as rp
 
         if rp.fused_path_available(scene, reference_parity, integer_colors):
             # in-kernel raygen: no per-ray inputs at all (render_pallas)
-            result = rp.render_fused_camera(
+            result, (trows, tiles_x, tiles_y) = rp.render_fused_camera(
                 scene, frame, width, height, bounces,
                 enable_shadows=enable_shadows,
             )
-    if result is None:
-        dirs = ray_directions_tiled(
-            frame.inverse_view, frame.inverse_projection, width, height, trows
-        )  # [3, tiles_y * tiles_x * trows, 128]
-        origin = jnp.broadcast_to(
-            frame.camera_position[:, None, None], dirs.shape
-        )
-        result = bounce_loop(
-            scene, origin, dirs, frame.sun_angle, bounces, tracer,
-            reference_parity, integer_colors, enable_shadows,
-        )
-    return result, trows, tiles_x, tiles_y
+            return result, ("strip", trows, tiles_x, tiles_y)
+    trows = _tile_rows(width * height)
+    tiles_x = -(-width // 128)
+    tiles_y = -(-height // trows)
+    dirs = ray_directions_tiled(
+        frame.inverse_view, frame.inverse_projection, width, height, trows
+    )  # [3, tiles_y * tiles_x * trows, 128]
+    origin = jnp.broadcast_to(
+        frame.camera_position[:, None, None], dirs.shape
+    )
+    result = bounce_loop(
+        scene, origin, dirs, frame.sun_angle, bounces, tracer,
+        reference_parity, integer_colors, enable_shadows,
+    )
+    return result, ("strip", trows, tiles_x, tiles_y)
 
 
-def _untile(
-    result: Array, trows: int, tiles_x: int, tiles_y: int,
-    height: int, width: int,
-) -> Array:
+def _untile(result: Array, layout: tuple, height: int, width: int) -> Array:
     """[3, rows, 128] screen-tile order → [3, H, W] planar image."""
+    _kind, rows, nx, ny = layout
     return (
-        result.reshape(3, tiles_y, tiles_x, trows, 128)
+        result.reshape(3, ny, nx, rows, 128)
         .transpose(0, 1, 3, 2, 4)
-        .reshape(3, tiles_y * trows, tiles_x * 128)[:, :height, :width]
+        .reshape(3, ny * rows, nx * 128)[:, :height, :width]
     )
 
 
@@ -331,15 +328,15 @@ def render_frame(
         # three (untile → interleave → [3, N] → interleave again)
         from clraytracer_tpu.ops.post import post_process_tiled
 
-        result, trows, tiles_x, tiles_y = _trace_tiled(
+        result, layout = _trace_tiled(
             scene, frame, config.width, config.height, config.bounces,
             tracer, config.reference_parity_shading, config.integer_colors,
             config.enable_shadows,
         )
         result = post_process_tiled(
-            result, config.width, config.height, trows, tiles_x
+            result, config.width, config.height, layout
         )
-        img = _untile(result, trows, tiles_x, tiles_y, config.height, config.width)
+        img = _untile(result, layout, config.height, config.width)
         return planar.to_last(img, (config.height, config.width))
 
     img = trace_image(

@@ -342,4 +342,9 @@ def test_streamed_tables_match_resident(monkeypatch):
     monkeypatch.setattr(tp, "VMEM_TABLE_BUDGET", 12 << 20)
     img_r = np.asarray(trace_image(scene_r, frame, 48, 32,
                                    tracer=tp.trace_pallas))
-    np.testing.assert_array_equal(img_s, img_r)
+    # not bit-equal on CPU: the streamed kernel runs under InterpretParams
+    # (TPU-interpret, for its DMA semantics) while the resident kernel uses
+    # the plain Pallas interpreter, and the two lowerings make different
+    # FMA-contraction choices in the shading chain (measured: 1-2 px off by
+    # 1 ULP at 48x32). On real TPU both compile natively.
+    np.testing.assert_allclose(img_s, img_r, rtol=3e-6, atol=3e-7)

@@ -94,10 +94,10 @@ def main() -> None:
 
         assert rp.fused_path_available(scene_s, True, True)
         tp.VMEM_TABLE_BUDGET = 0
-        img_s = rp.render_fused_camera(scene_s, frame, W, H, bounces=2)
+        img_s, _ = rp.render_fused_camera(scene_s, frame, W, H, bounces=2)
         jax.block_until_ready(img_s)
         tp.VMEM_TABLE_BUDGET = budget
-        img_r = rp.render_fused_camera(scene_r, frame, W, H, bounces=2)
+        img_r, _ = rp.render_fused_camera(scene_r, frame, W, H, bounces=2)
         jax.block_until_ready(img_r)
         eq = np.array_equal(np.asarray(img_s), np.asarray(img_r))
         print("fused frame equal:", eq, flush=True)
