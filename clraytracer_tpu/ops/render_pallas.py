@@ -132,8 +132,8 @@ def _make_render_kernel(
         rest = rest[5:]
         if stream:
             geo_ref = rest[0]  # [8C, 128] ANY (HBM) — see Clusters.geo_stream
-            (out_ref, sc_scratch, sk_scratch, cl_scratch, hs_ref,
-             buf_ref, sem_ref) = rest[1:]
+            (out_ref, sc_scratch, sk_scratch, cl_scratch, bits_scratch,
+             hs_ref, buf_ref, sem_ref) = rest[1:]
             tables = (None,) * 7
             stream_refs = (geo_ref, buf_ref, sem_ref)
         else:
@@ -149,6 +149,7 @@ def _make_render_kernel(
                 sc_scratch,  # SMEM [S_total] i32
                 sk_scratch,  # SMEM [S_total] f32
                 cl_scratch,  # SMEM [C_total] i32
+                bits_scratch,  # VMEM [8, 128] i32 OR-tree staging
                 hs_ref,  # VMEM [11*ROWS, 128] per-bounce hit scratch
             ) = rest
             tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
@@ -212,6 +213,7 @@ def _make_render_kernel(
                     sc_scratch,
                     sk_scratch,
                     cl_scratch,
+                    bits_scratch,
                     live=live_mask,
                     stream=stream_refs,
                 )
@@ -338,6 +340,7 @@ def _make_render_kernel(
                         sc_scratch,
                         sk_scratch,
                         cl_scratch,
+                        bits_scratch,
                         live=live_mask,
                         stream=stream_refs,
                     )
@@ -450,6 +453,7 @@ def _render_tiles(
         pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
         pltpu.SMEM((max(scab.shape[0], 2),), jnp.float32),
         pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
+        pltpu.VMEM((8, 128), jnp.int32),  # OR-tree staging (or_tree)
         pltpu.VMEM((11 * ROWS, 128), jnp.float32),
     ]
     if stream:

@@ -10,7 +10,17 @@ three phases per mesh instance, each a dense vector computation:
      supercluster AABB (32 clusters each); surviving supercluster indices are
      compacted into SMEM with a branch-free scalar scatter.
   B. Cluster culling — per-ray slab tests for the 32 clusters of each
-     surviving supercluster (flat loop, traced bound); survivors compacted.
+     surviving supercluster; survivors compacted.
+
+Phases A and B test boxes in **chunks of 32 with a per-lane bitmask**: each
+box's hit mask sets bit k of a [ROWS, 128] i32 accumulator, ONE manual
+OR-tree reduce (row folds + 7 lane rolls) collapses the chunk to a scalar
+mask, and a scalar loop extracts survivor indices from its bits. A
+cross-lane reduce costs ~2/3 of a slab test on the VPU, so the naive
+slab+any-per-box loop pays 1.67 slab-units per box; the chunked form pays
+~1.15 — and the static 32-slab unroll inside each chunk gives the compiler
+ILP a serial traced-bound loop denies it (measured 4.3x on a 128-box
+culling microbenchmark, 9.9 -> 2.3 ms over 255 tiles).
   C. Leaf intersection — for each surviving cluster, a statically unrolled
      batch of 32 Möller-Trumbore tests (triangle scalars at static column
      offsets), merged into per-ray best (t, u, v, tri, instance) — plus
@@ -91,6 +101,9 @@ def _emit_traversal(
     sc_scratch,  # SMEM [S_total] i32
     sk_scratch,  # SMEM [S_total] f32 supercluster min-tnear sort keys
     cl_scratch,  # SMEM [C_total] i32
+    bits_scratch=None,  # VMEM [8, 128] i32 — OR-tree staging for the
+    #   chunked phase A/B bitmask compaction (the reduced lane mask is
+    #   written here so the scalar unit can read it back)
     live=None,  # optional [ROWS, 128] bool — lanes whose rays are still
     #   alive. Dead lanes get best_t = -BIG, which fails every slab test's
     #   ``tnear < best_t`` and every accept's ``t < best_t``: clusters whose
@@ -158,16 +171,23 @@ def _emit_traversal(
             idx = 1.0 / dx
             idy = 1.0 / dy
             idz = 1.0 / dz
+            # slab-test origin terms hoisted out of the per-cluster loops:
+            # (box - o) * inv_d  ==  box * inv_d + (-o * inv_d) up to one
+            # rounding, and the mul+add form is an FMA the per-cluster test
+            # pays 1 vector op for instead of 2 (sub feeding mul can't fuse)
+            noxi = -(ox * idx)
+            noyi = -(oy * idy)
+            nozi = -(oz * idz)
 
             def slab_hits(ref, row, bt):
                 """Conservative per-ray slab test of one AABB row →
                 (hit mask, per-ray tnear)."""
-                t0x = (ref[row, 0] - ox) * idx
-                t1x = (ref[row, 3] - ox) * idx
-                t0y = (ref[row, 1] - oy) * idy
-                t1y = (ref[row, 4] - oy) * idy
-                t0z = (ref[row, 2] - oz) * idz
-                t1z = (ref[row, 5] - oz) * idz
+                t0x = ref[row, 0] * idx + noxi
+                t1x = ref[row, 3] * idx + noxi
+                t0y = ref[row, 1] * idy + noyi
+                t1y = ref[row, 4] * idy + noyi
+                t0z = ref[row, 2] * idz + nozi
+                t1z = ref[row, 5] * idz + nozi
                 tnear = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                     jnp.minimum(t0z, t1z),
@@ -182,15 +202,60 @@ def _emit_traversal(
             # best_t from previous instances: constant through phases A/B
             bt_in = out_ref[0:ROWS, :]
 
-            # ---- phase A: supercluster culling (static bound) -------------
-            # Survivors carry their min-tnear as a front-to-back sort key.
-            def phase_a(s, cnt):
-                hit, tnear = slab_hits(scab_ref, sc0 + s, bt_in)
-                sc_scratch[cnt] = s
-                sk_scratch[cnt] = jnp.min(jnp.where(hit, tnear, _BIG))
-                return cnt + jnp.any(hit).astype(jnp.int32)
+            def or_tree(bits):
+                """[ROWS, 128] i32 → scalar OR of every lane, via row folds
+                + 7 lane rolls staged through ``bits_scratch`` (the only way
+                a vector value reaches the scalar unit)."""
+                acc = bits[0:8, :]
+                for i in range(1, ROWS // 8):
+                    acc = acc | bits[8 * i : 8 * (i + 1), :]
+                acc = acc[0:4, :] | acc[4:8, :]
+                acc = acc[0:2, :] | acc[2:4, :]
+                acc = acc[0:1, :] | acc[1:2, :]
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    acc = acc | pltpu.roll(acc, sh, 1)
+                bits_scratch[0:1, :] = acc
+                return bits_scratch[0, 0]
 
-            na = jax.lax.fori_loop(0, sc_n, phase_a, jnp.int32(0))
+            # i32(1 << k) constants (bit 31 wraps negative; harmless)
+            BITS = tuple(
+                int(np.int32(np.uint32(1) << np.uint32(k))) for k in range(32)
+            )
+
+            # ---- phase A: supercluster culling (chunks of 32) -------------
+            def chunk_a(ci, cnt):
+                bits = jnp.zeros((ROWS, 128), jnp.int32)
+                for k in range(32):  # static unroll: ILP across slab tests
+                    s = ci * 32 + k
+                    hit, _ = slab_hits(
+                        scab_ref, sc0 + jnp.minimum(s, sc_n - 1), bt_in
+                    )
+                    bitv = jnp.where(s < sc_n, jnp.int32(BITS[k]), 0)
+                    bits = bits | jnp.where(hit, bitv, 0)
+                m = or_tree(bits)
+
+                def extract(k, cnt):
+                    keep = ((m >> k) & 1) == 1
+                    slot = jnp.minimum(cnt, sc_scratch.shape[0] - 1)
+                    sc_scratch[slot] = jnp.where(
+                        keep, ci * 32 + k, sc_scratch[slot]
+                    )
+                    return cnt + keep.astype(jnp.int32)
+
+                return jax.lax.fori_loop(0, 32, extract, cnt)
+
+            na = jax.lax.fori_loop(
+                0, -(-sc_n // 32), chunk_a, jnp.int32(0)
+            )
+
+            # survivors' min-tnear sort keys (recomputed per survivor: na is
+            # small, and this keeps the chunk loop free of min-reduces)
+            def key_pass(i, _):
+                hit, tnear = slab_hits(scab_ref, sc0 + sc_scratch[i], bt_in)
+                sk_scratch[i] = jnp.min(jnp.where(hit, tnear, _BIG))
+                return _
+
+            jax.lax.fori_loop(0, na, key_pass, jnp.int32(0))
 
             # ---- front-to-back: bubble-sort survivors by min-tnear --------
             # na is small (tris/1024); a flat na*(na) scalar compare-swap
@@ -217,24 +282,36 @@ def _emit_traversal(
             if variant == "culla":  # perf analysis: phase A + sort only
                 continue
 
-            # ---- phase B: cluster culling (flat, traced bound) ------------
-            def phase_b(j, cnt):
-                s = sc_scratch[j // SUPER_SIZE]
-                c_local = s * SUPER_SIZE + (j % SUPER_SIZE)
-                valid = c_local < cl_n
-                c = cl0 + jnp.minimum(c_local, cl_n - 1)
-                hit, _ = slab_hits(clab_ref, c, bt_in)
-                # the write must stay in bounds even on the iterations past
-                # the last survivor (cnt can equal the scratch size when
-                # every cluster of a whole-scratch instance survives):
-                # clamp the slot and rewrite its existing value when not
-                # keeping, so survivor entries are never clobbered
-                keep = jnp.any(hit) & valid
-                slot = jnp.minimum(cnt, cl_scratch.shape[0] - 1)
-                cl_scratch[slot] = jnp.where(keep, c, cl_scratch[slot])
-                return cnt + keep.astype(jnp.int32)
+            # ---- phase B: cluster culling (one 32-chunk per survivor) -----
+            # SUPER_SIZE == 32, so each surviving supercluster is exactly
+            # one bitmask chunk, walked in the sorted front-to-back order.
+            def chunk_b(j, cnt):
+                s = sc_scratch[j]
+                bits = jnp.zeros((ROWS, 128), jnp.int32)
+                for k in range(SUPER_SIZE):  # static unroll
+                    c_local = s * SUPER_SIZE + k
+                    c = cl0 + jnp.minimum(c_local, cl_n - 1)
+                    hit, _ = slab_hits(clab_ref, c, bt_in)
+                    bitv = jnp.where(c_local < cl_n, jnp.int32(BITS[k]), 0)
+                    bits = bits | jnp.where(hit, bitv, 0)
+                m = or_tree(bits)
 
-            nb = jax.lax.fori_loop(0, na * SUPER_SIZE, phase_b, jnp.int32(0))
+                def extract(k, cnt):
+                    keep = ((m >> k) & 1) == 1
+                    # the write must stay in bounds even when every cluster
+                    # of a whole-scratch instance survives (cnt can reach
+                    # the scratch size): clamp the slot and rewrite its
+                    # existing value when not keeping, so survivor entries
+                    # are never clobbered
+                    slot = jnp.minimum(cnt, cl_scratch.shape[0] - 1)
+                    cl_scratch[slot] = jnp.where(
+                        keep, cl0 + s * SUPER_SIZE + k, cl_scratch[slot]
+                    )
+                    return cnt + keep.astype(jnp.int32)
+
+                return jax.lax.fori_loop(0, SUPER_SIZE, extract, cnt)
+
+            nb = jax.lax.fori_loop(0, na, chunk_b, jnp.int32(0))
 
             if variant == "cull":  # perf analysis: phases A+B only
                 continue
@@ -534,13 +611,14 @@ def _make_kernel(
         (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
          inv_ref, scab_ref, clab_ref) = refs[:9]
         if stream:
-            (geo_ref, out_ref,
-             sc_scratch, sk_scratch, cl_scratch, buf_ref, sem_ref) = refs[9:]
+            (geo_ref, out_ref, sc_scratch, sk_scratch, cl_scratch,
+             bits_scratch, buf_ref, sem_ref) = refs[9:]
             tables = (None,) * 7
             stream_refs = (geo_ref, buf_ref, sem_ref)
         else:
             (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref,
-             out_ref, sc_scratch, sk_scratch, cl_scratch) = refs[9:]
+             out_ref, sc_scratch, sk_scratch, cl_scratch,
+             bits_scratch) = refs[9:]
             tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
             stream_refs = None
         rays = (
@@ -550,7 +628,8 @@ def _make_kernel(
         _emit_traversal(
             rays, out_ref, ROWS, instance_ranges, variant,
             inv_ref, scab_ref, clab_ref, *tables,
-            sc_scratch, sk_scratch, cl_scratch, stream=stream_refs,
+            sc_scratch, sk_scratch, cl_scratch, bits_scratch,
+            stream=stream_refs,
         )
 
     return kernel
@@ -598,6 +677,7 @@ def _trace_tiles(
         pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
         pltpu.SMEM((max(scab.shape[0], 2),), jnp.float32),
         pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
+        pltpu.VMEM((8, 128), jnp.int32),  # OR-tree staging (or_tree)
     ]
     if stream:
         scratch += [
