@@ -171,23 +171,21 @@ def _emit_traversal(
             idx = 1.0 / dx
             idy = 1.0 / dy
             idz = 1.0 / dz
-            # slab-test origin terms hoisted out of the per-cluster loops:
-            # (box - o) * inv_d  ==  box * inv_d + (-o * inv_d) up to one
-            # rounding, and the mul+add form is an FMA the per-cluster test
-            # pays 1 vector op for instead of 2 (sub feeding mul can't fuse)
-            noxi = -(ox * idx)
-            noyi = -(oy * idy)
-            nozi = -(oz * idz)
 
+            # NOTE the (box - o) * inv_d form is load-bearing: hoisting the
+            # origin term as box*inv_d + (-o*inv_d) turns axis-parallel rays
+            # (inv_d = inf — every shadow ray has d.x == 0) into inf - inf
+            # = NaN, which culls clusters that genuinely occlude. Measured
+            # no speedup from the FMA form anyway.
             def slab_hits(ref, row, bt):
                 """Conservative per-ray slab test of one AABB row →
                 (hit mask, per-ray tnear)."""
-                t0x = ref[row, 0] * idx + noxi
-                t1x = ref[row, 3] * idx + noxi
-                t0y = ref[row, 1] * idy + noyi
-                t1y = ref[row, 4] * idy + noyi
-                t0z = ref[row, 2] * idz + nozi
-                t1z = ref[row, 5] * idz + nozi
+                t0x = (ref[row, 0] - ox) * idx
+                t1x = (ref[row, 3] - ox) * idx
+                t0y = (ref[row, 1] - oy) * idy
+                t1y = (ref[row, 4] - oy) * idy
+                t0z = (ref[row, 2] - oz) * idz
+                t1z = (ref[row, 5] - oz) * idz
                 tnear = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                     jnp.minimum(t0z, t1z),
@@ -222,16 +220,16 @@ def _emit_traversal(
                 int(np.int32(np.uint32(1) << np.uint32(k))) for k in range(32)
             )
 
-            # ---- phase A: supercluster culling (chunks of 32) -------------
-            def chunk_a(ci, cnt):
+            # ---- phase A: supercluster culling (chunks of <=32) -----------
+            # sc_n is static, so the last (or only) chunk unrolls exactly
+            # the real box count — an instance with 4 superclusters pays 4
+            # slab tests per tile, not a full 32-wide chunk.
+            def chunk_a(ci, cnt, width):
                 bits = jnp.zeros((ROWS, 128), jnp.int32)
-                for k in range(32):  # static unroll: ILP across slab tests
+                for k in range(width):  # static unroll: ILP across slabs
                     s = ci * 32 + k
-                    hit, _ = slab_hits(
-                        scab_ref, sc0 + jnp.minimum(s, sc_n - 1), bt_in
-                    )
-                    bitv = jnp.where(s < sc_n, jnp.int32(BITS[k]), 0)
-                    bits = bits | jnp.where(hit, bitv, 0)
+                    hit, _ = slab_hits(scab_ref, sc0 + s, bt_in)
+                    bits = bits | jnp.where(hit, jnp.int32(BITS[k]), 0)
                 m = or_tree(bits)
 
                 def extract(k, cnt):
@@ -242,11 +240,18 @@ def _emit_traversal(
                     )
                     return cnt + keep.astype(jnp.int32)
 
-                return jax.lax.fori_loop(0, 32, extract, cnt)
+                return jax.lax.fori_loop(0, width, extract, cnt)
 
-            na = jax.lax.fori_loop(
-                0, -(-sc_n // 32), chunk_a, jnp.int32(0)
-            )
+            na = jnp.int32(0)
+            if sc_n > 32:
+                na = jax.lax.fori_loop(
+                    0,
+                    sc_n // 32,
+                    lambda ci, cnt: chunk_a(ci, cnt, 32),
+                    na,
+                )
+            if sc_n % 32:
+                na = chunk_a(jnp.int32(sc_n // 32), na, sc_n % 32)
 
             # survivors' min-tnear sort keys (recomputed per survivor: na is
             # small, and this keeps the chunk loop free of min-reduces)
@@ -285,10 +290,12 @@ def _emit_traversal(
             # ---- phase B: cluster culling (one 32-chunk per survivor) -----
             # SUPER_SIZE == 32, so each surviving supercluster is exactly
             # one bitmask chunk, walked in the sorted front-to-back order.
+            width_b = min(SUPER_SIZE, cl_n)  # static: tiny meshes unroll less
+
             def chunk_b(j, cnt):
                 s = sc_scratch[j]
                 bits = jnp.zeros((ROWS, 128), jnp.int32)
-                for k in range(SUPER_SIZE):  # static unroll
+                for k in range(width_b):  # static unroll
                     c_local = s * SUPER_SIZE + k
                     c = cl0 + jnp.minimum(c_local, cl_n - 1)
                     hit, _ = slab_hits(clab_ref, c, bt_in)
@@ -309,7 +316,7 @@ def _emit_traversal(
                     )
                     return cnt + keep.astype(jnp.int32)
 
-                return jax.lax.fori_loop(0, SUPER_SIZE, extract, cnt)
+                return jax.lax.fori_loop(0, width_b, extract, cnt)
 
             nb = jax.lax.fori_loop(0, na, chunk_b, jnp.int32(0))
 
