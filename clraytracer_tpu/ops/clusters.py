@@ -7,12 +7,17 @@ with a two-level **cluster hierarchy** laid out for dense vector work:
   in-place partition, bvh.py), are grouped into fixed-size clusters of
   ``CLUSTER_SIZE`` tris; 32 clusters form a supercluster. Both levels carry
   AABBs used for per-ray-tile culling.
-* Cluster triangle data is packed one cluster per row: ``[C, 32*9]`` f32 of
-  (v0, e1, e2) per triangle — edges precomputed so the kernel's unrolled
-  Möller-Trumbore reads scalars at static column offsets (the only scalar
-  addressing mode Mosaic compiles: traced row x constant column).
+* Cluster triangle data is packed one cluster per row as **plane-based
+  (Baldwin-Weber) intersection coefficients**: three 4-vectors per triangle
+  — the plane N = (n, -n.v0) and two barycentric planes U, V with
+  u(p) = U.(p,1), v(p) = V.(p,1) on the triangle plane — so the kernel's
+  unrolled intersector is six dot products + one reciprocal per triangle
+  (~25% fewer vector ops than cross-product Möller-Trumbore, whose two
+  in-kernel cross products plane precomputation absorbs). Scalars live at
+  static column offsets (the only scalar addressing mode Mosaic compiles:
+  traced row x constant column).
 * Padding triangles are fully degenerate (zeros): their plane normal is
-  zero, so ``a = 0 → f = inf → u = nan`` and every accept test fails.
+  zero, so ``den = 0 → t = 0 * -inf = nan`` and every accept test fails.
 
 This is the TPU-native analogue of the reference's BVH leaves; the judge's
 capability mapping: BVH traversal (kernel_main.cl:124-160) → tile/cluster
@@ -34,9 +39,9 @@ class ClusterTables:
     """Host-built, device-ready cluster tables (numpy).
 
     Mosaic only compiles dynamic-row scalar loads when a row fits one
-    (8, 128) lane tile, so the 9 triangle components are packed 4-per-row
-    across three [C, 128] tables: ``tri_a`` = v0x|v0y|v0z|e1x (32 lanes
-    each), ``tri_b`` = e1y|e1z|e2x|e2y, ``tri_c`` = e2z|-|-|-.
+    (8, 128) lane tile, so the 12 plane coefficients are packed 4-per-row
+    across three [C, 128] tables: ``tri_a`` = Nx|Ny|Nz|Nw (32 lanes each),
+    ``tri_b`` = Ux|Uy|Uz|Uw, ``tri_c`` = Vx|Vy|Vz|Vw.
     """
 
     tri_a: np.ndarray  # [C, 128] f32
@@ -94,17 +99,34 @@ def build_clusters(
         gid = np.zeros(padded, np.int32)
         gid[:count] = np.arange(start, start + count, dtype=np.int32)
 
-        e1 = mv1 - mv0
-        e2 = mv2 - mv0
+        # Baldwin-Weber plane coefficients (f64 intermediates for plane
+        # quality, stored f32). N = e1 x e2 with Nw = -N.v0 gives
+        # t = -(N.o + Nw) / (N.d); the barycentric planes follow from the
+        # scalar triple product identity (e2 x n).e1 = n.(e1 x e2) = |n|^2:
+        #   U = (e2 x n) / |n|^2,  Uw = -U.v0   (u(v0)=0, u(v1)=1, u(v2)=0)
+        #   V = (n x e1) / |n|^2,  Vw = -V.v0   (v(v2)=1)
+        # Degenerate (incl. padding) triangles get all-zero planes: the
+        # kernel's t becomes 0 * -inf = nan and every accept test fails.
+        v0d, v1d, v2d = mv0.astype(np.float64), mv1.astype(np.float64), mv2.astype(np.float64)
+        e1 = v1d - v0d
+        e2 = v2d - v0d
+        n = np.cross(e1, e2)
+        nn = (n * n).sum(axis=1, keepdims=True)
+        safe = np.where(nn > 0.0, nn, 1.0)
+        u3 = np.where(nn > 0.0, np.cross(e2, n) / safe, 0.0)
+        v3 = np.where(nn > 0.0, np.cross(n, e1) / safe, 0.0)
+        n = np.where(nn > 0.0, n, 0.0)
+        nw = -(n * v0d).sum(axis=1, keepdims=True)
+        uw = -(u3 * v0d).sum(axis=1, keepdims=True)
+        vw = -(v3 * v0d).sum(axis=1, keepdims=True)
+        planes = [
+            np.concatenate([p, w], axis=1).astype(np.float32)
+            for p, w in ((n, nw), (u3, uw), (v3, vw))
+        ]
         comp = lambda arr, j: arr[:, j].reshape(n_clusters, CLUSTER_SIZE)
-        ta = np.concatenate(
-            [comp(mv0, 0), comp(mv0, 1), comp(mv0, 2), comp(e1, 0)], axis=1
-        )
-        tb = np.concatenate(
-            [comp(e1, 1), comp(e1, 2), comp(e2, 0), comp(e2, 1)], axis=1
-        )
-        tc = np.concatenate(
-            [comp(e2, 2)] + [np.zeros_like(comp(e2, 2))] * 3, axis=1
+        ta, tb, tc = (
+            np.concatenate([comp(p, j) for j in range(4)], axis=1)
+            for p in planes
         )
 
         mat_ = np.zeros((padded, 16), np.float32)

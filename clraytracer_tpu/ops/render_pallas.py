@@ -197,11 +197,22 @@ def _make_render_kernel(
         # in-graph f32 multiplies bit-for-bit
         atm = np.asarray([0.255, 0.25, 0.27], np.float32)
 
+        # camera mode: bounce 0's origin components enter traversal as
+        # traced SCALARS — the plane-based intersector's o.N / o.U / o.V
+        # dots and the slab test's (box - o) then run on the scalar unit,
+        # cutting the per-triangle vector work by ~30% on the primary
+        # bounce (every expression in _emit_traversal broadcasts unchanged)
+        o_trav0 = (
+            tuple(cam_ref[0, 32 + c] for c in range(3)) if cam is not None
+            else None
+        )
+
         for _b in range(bounces):
 
-            def traverse(o=o, d=d, live_mask=None):
+            def traverse(o=o, d=d, live_mask=None, o_scalar=None):
+                ot = o_scalar if o_scalar is not None else (o[0], o[1], o[2])
                 _emit_traversal(
-                    (o[0], o[1], o[2], d[0], d[1], d[2]),
+                    (ot[0], ot[1], ot[2], d[0], d[1], d[2]),
                     hs_ref,
                     ROWS,
                     instance_ranges,
@@ -219,7 +230,7 @@ def _make_render_kernel(
                 )
 
             if _b == 0:
-                traverse()
+                traverse(o_scalar=o_trav0)
             else:
                 # whole-tile early out: a tile whose rays all terminated
                 # (e.g. pure-sky tiles after bounce 1) skips traversal

@@ -411,34 +411,35 @@ def _emit_traversal(
                         # rows per cluster, scene/builder.py)
                         g = lambda t, col: buf_ref[dslot * 8 + t, col]
                     for k in range(CLUSTER_SIZE):
-                        v0x = g(0, k)
-                        v0y = g(0, 32 + k)
-                        v0z = g(0, 64 + k)
-                        e1x = g(0, 96 + k)
-                        e1y = g(1, k)
-                        e1z = g(1, 32 + k)
-                        e2x = g(1, 64 + k)
-                        e2y = g(1, 96 + k)
-                        e2z = g(2, k)
-                        hx = dy * e2z - dz * e2y
-                        hy = dz * e2x - dx * e2z
-                        hz = dx * e2y - dy * e2x
-                        a = e1x * hx + e1y * hy + e1z * hz
-                        f = 1.0 / a
-                        sx = ox - v0x
-                        sy = oy - v0y
-                        sz = oz - v0z
-                        u = f * (sx * hx + sy * hy + sz * hz)
-                        qx = sy * e1z - sz * e1y
-                        qy = sz * e1x - sx * e1z
-                        qz = sx * e1y - sy * e1x
-                        v = f * (dx * qx + dy * qy + dz * qz)
-                        t = f * (e2x * qx + e2y * qy + e2z * qz)
+                        # plane-based intersection (ops/clusters.py layout):
+                        # t from the triangle plane, u/v from the two
+                        # barycentric planes evaluated at o + t*d
+                        nx = g(0, k)
+                        ny = g(0, 32 + k)
+                        nz = g(0, 64 + k)
+                        nw = g(0, 96 + k)
+                        den = dx * nx + dy * ny + dz * nz
+                        b_n = ox * nx + oy * ny + oz * nz + nw
+                        t = b_n * (-1.0 / den)
+                        ux = g(1, k)
+                        uy = g(1, 32 + k)
+                        uz = g(1, 64 + k)
+                        uw = g(1, 96 + k)
+                        u = (ox * ux + oy * uy + oz * uz + uw) + t * (
+                            dx * ux + dy * uy + dz * uz
+                        )
+                        vx = g(2, k)
+                        vy = g(2, 32 + k)
+                        vz = g(2, 64 + k)
+                        vw = g(2, 96 + k)
+                        v = (ox * vx + oy * vy + oz * vz + vw) + t * (
+                            dx * vx + dy * vy + dz * vz
+                        )
+                        # u <= 1 is implied by v >= 0 & u + v <= 1
                         ok = (
                             (t > 0.0)
                             & (t < bt)
                             & (u >= 0.0)
-                            & (u <= 1.0)
                             & (v >= 0.0)
                             & (u + v <= 1.0)
                         )
