@@ -469,8 +469,9 @@ def _render_tiles(
     ]
     if stream:
         scratch += [
-            pltpu.VMEM((16, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            # STREAM_PIPE-deep cluster staging (8 rows per slot)
+            pltpu.VMEM((8 * _tp.STREAM_PIPE, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((_tp.STREAM_PIPE,)),
         ]
     big = pl.pallas_call(
         kernel,

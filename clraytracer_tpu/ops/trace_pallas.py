@@ -60,6 +60,11 @@ from clraytracer_tpu.ops.clusters import CLUSTER_SIZE, SUPER_SIZE
 from clraytracer_tpu.ops.trace_ref import SceneHit, _instance_tables
 from clraytracer_tpu.scene.types import MISS_DISTANCE, Scene
 
+#: HBM-streaming DMA pipeline depth: cluster-geometry fetches kept in
+#: flight during phase C (see the preflight comment in _emit_traversal).
+#: 8 slots = 32 KiB of VMEM staging.
+STREAM_PIPE = 8
+
 MAX_ROWS = 64  # sublane rows per tile: [64, 128] tiles measured fastest at
 # 1080p (38.6 ms/frame vs 41.9 @ 32 rows, 43.1 @ 128, 68 @ 8) — bigger tiles
 # amortize the kernel's scalar-unit work (25 scalar loads per tested
@@ -287,86 +292,53 @@ def _emit_traversal(
             if variant == "culla":  # perf analysis: phase A + sort only
                 continue
 
-            # ---- phase B: cluster culling (one 32-chunk per survivor) -----
-            # SUPER_SIZE == 32, so each surviving supercluster is exactly
-            # one bitmask chunk, walked in the sorted front-to-back order.
+            # ---- phases B+C, interleaved per supercluster -----------------
+            # Each surviving supercluster (walked in the sorted front-to-
+            # back order) runs its 32-cluster bitmask cull and IMMEDIATELY
+            # intersects its surviving clusters — so the NEXT supercluster's
+            # cluster culling tests against a best-t already tightened by
+            # everything in front of it. With the old B-then-C split, phase
+            # B compared against the best-t from *previous instances only*:
+            # on a single-instance interior (sponza is one 95k-tri mesh) it
+            # had no occlusion term at all and tested every cluster along
+            # the whole view corridor (measured 90/242 ms for bounce 1/2 of
+            # the museum frame at 1080p).
             width_b = min(SUPER_SIZE, cl_n)  # static: tiny meshes unroll less
 
-            def chunk_b(j, cnt):
-                s = sc_scratch[j]
-                bits = jnp.zeros((ROWS, 128), jnp.int32)
-                for k in range(width_b):  # static unroll
-                    c_local = s * SUPER_SIZE + k
-                    c = cl0 + jnp.minimum(c_local, cl_n - 1)
-                    hit, _ = slab_hits(clab_ref, c, bt_in)
-                    bitv = jnp.where(c_local < cl_n, jnp.int32(BITS[k]), 0)
-                    bits = bits | jnp.where(hit, bitv, 0)
-                m = or_tree(bits)
-
-                def extract(k, cnt):
-                    keep = ((m >> k) & 1) == 1
-                    # the write must stay in bounds even when every cluster
-                    # of a whole-scratch instance survives (cnt can reach
-                    # the scratch size): clamp the slot and rewrite its
-                    # existing value when not keeping, so survivor entries
-                    # are never clobbered
-                    slot = jnp.minimum(cnt, cl_scratch.shape[0] - 1)
-                    cl_scratch[slot] = jnp.where(
-                        keep, cl0 + s * SUPER_SIZE + k, cl_scratch[slot]
-                    )
-                    return cnt + keep.astype(jnp.int32)
-
-                return jax.lax.fori_loop(0, width_b, extract, cnt)
-
-            nb = jax.lax.fori_loop(0, na, chunk_b, jnp.int32(0))
-
-            if variant == "cull":  # perf analysis: phases A+B only
-                continue
-
-            # Deferred attribute interpolation (resident tables): phase C
-            # tracks only (t, u, v, tri, inst); the 16 attribute loads + ~26
-            # interp/select vector ops per TESTED triangle move to a
-            # post-pass over WINNING clusters only (typically 1-3 per tile
-            # vs 5-15 tested). The streamed path keeps inline interpolation:
-            # its geometry buffer is overwritten per cluster, so a post-pass
-            # would need to re-DMA each winner.
-            defer = variant == "full" and stream is None
+            # Deferred attribute interpolation: phase C tracks only
+            # (t, u, v, tri, inst); the 16 attribute loads + ~26 interp/
+            # select vector ops per TESTED triangle move to a post-pass over
+            # WINNING clusters only (typically 1-3 per tile vs 5-15 tested).
+            # The streamed path re-DMAs each winner's geometry row-block —
+            # a handful of 4 KiB fetches per tile against the ~18 ms/bounce
+            # the inline interpolation cost at 1080p on the museum scene.
+            defer = variant == "full"
             phase_c_variant = "noattr" if defer else variant
 
-            # ---- phase C: dense leaf batches (flat, traced bound) ---------
-            # Each surviving cluster is recheck-slab-tested against the
-            # RUNNING best_t (which tightens as near clusters land, in
-            # front-to-back supercluster order) and the whole 32-tri batch
-            # is skipped via pl.when when no ray can improve — occluded
-            # back-side geometry costs one slab test instead of 32
-            # Möller-Trumbore batches.
-            # Shading attributes are interpolated inline under the same
-            # accept mask — the triangle's attrs are in VMEM at static
-            # columns, so this replaces a ~5 ms/bounce XLA attribute gather
-            # with a few extra scalar loads + FMAs per tested triangle.
-            if stream is not None:
-                # kick the pipeline: survivor 0's geometry starts loading
-                # while the sort above is still settling in SMEM
-                @pl.when(nb > 0)
-                def _preflight():
-                    _start_dma(cl_scratch[0], jnp.int32(0))
-
-            def phase_c(j, carry):
+            def phase_c(j, end):
+                # ``end`` (loop carry, constant) is this supercluster's
+                # survivor-range end — the DMA prefetch horizon.
                 c = cl_scratch[j]
-                dslot = jax.lax.rem(j, 2)  # DMA double-buffer slot
+                dslot = jax.lax.rem(j, STREAM_PIPE)  # DMA pipeline slot
                 if stream is not None:
-                    # prefetch j+1 into the other slot, then wait for j —
-                    # the next cluster's DMA rides under this one's batch.
-                    # The wait is UNCONDITIONAL (outside the occlusion
-                    # skip): every started DMA must be consumed exactly
-                    # once or the slot's semaphore carries residue into
-                    # the next use (data race with the scalar reads).
-                    @pl.when(j + 1 < nb)
+                    # prefetch j+STREAM_PIPE-1 into the slot iteration j-1
+                    # just consumed, then wait for j — the next clusters'
+                    # DMAs ride under this one's batch. The wait is
+                    # UNCONDITIONAL (outside the occlusion skip): every
+                    # started DMA must be consumed exactly once or the
+                    # slot's semaphore carries residue into the next use
+                    # (data race with the scalar reads).
+                    @pl.when(j + STREAM_PIPE - 1 < end)
                     def _prefetch():
                         # clamp: interpret mode evaluates guarded reads,
-                        # and j+1 == nb can equal the scratch size
-                        nxt = jnp.minimum(j + 1, cl_scratch.shape[0] - 1)
-                        _start_dma(cl_scratch[nxt], 1 - dslot)
+                        # and the index can reach the scratch size
+                        nxt = jnp.minimum(
+                            j + STREAM_PIPE - 1, cl_scratch.shape[0] - 1
+                        )
+                        _start_dma(
+                            cl_scratch[nxt],
+                            jax.lax.rem(j + STREAM_PIPE - 1, STREAM_PIPE),
+                        )
 
                     _wait_dma(c, dslot)
                 bt_run = out_ref[0:ROWS, :]
@@ -501,9 +473,63 @@ def _emit_traversal(
                                 (5 + fk) * ROWS : (6 + fk) * ROWS, :
                             ] = val
 
-                return carry
+                return end
 
-            jax.lax.fori_loop(0, nb, phase_c, jnp.int32(0))
+            def super_pass(jj, cnt):
+                s = sc_scratch[jj]
+                # cluster cull vs the RUNNING best-t (tightened by the
+                # superclusters already intersected in front of this one)
+                bt_run = out_ref[0:ROWS, :]
+                bits = jnp.zeros((ROWS, 128), jnp.int32)
+                for k in range(width_b):  # static unroll
+                    c_local = s * SUPER_SIZE + k
+                    c = cl0 + jnp.minimum(c_local, cl_n - 1)
+                    hit, _ = slab_hits(clab_ref, c, bt_run)
+                    bitv = jnp.where(c_local < cl_n, jnp.int32(BITS[k]), 0)
+                    bits = bits | jnp.where(hit, bitv, 0)
+                m = or_tree(bits)
+                cnt0 = cnt
+
+                def extract(k, cnt):
+                    keep = ((m >> k) & 1) == 1
+                    # the write must stay in bounds even when every cluster
+                    # of a whole-scratch instance survives (cnt can reach
+                    # the scratch size): clamp the slot and rewrite its
+                    # existing value when not keeping, so survivor entries
+                    # are never clobbered
+                    slot = jnp.minimum(cnt, cl_scratch.shape[0] - 1)
+                    cl_scratch[slot] = jnp.where(
+                        keep, cl0 + s * SUPER_SIZE + k, cl_scratch[slot]
+                    )
+                    return cnt + keep.astype(jnp.int32)
+
+                cnt = jax.lax.fori_loop(0, width_b, extract, cnt)
+                if variant == "cull":  # perf analysis: culling only
+                    return cnt
+                if stream is not None:
+                    # kick this supercluster's DMA pipeline: up to
+                    # STREAM_PIPE-1 survivors' geometry starts loading
+                    # before the first batch needs it
+                    for k in range(STREAM_PIPE - 1):
+
+                        @pl.when(cnt0 + k < cnt)
+                        def _preflight(k=k):
+                            _start_dma(
+                                cl_scratch[
+                                    jnp.minimum(
+                                        cnt0 + k, cl_scratch.shape[0] - 1
+                                    )
+                                ],
+                                jax.lax.rem(cnt0 + k, STREAM_PIPE),
+                            )
+
+                jax.lax.fori_loop(cnt0, cnt, phase_c, cnt)
+                return cnt
+
+            nb = jax.lax.fori_loop(0, na, super_pass, jnp.int32(0))
+
+            if variant == "cull":  # perf analysis: culling only
+                continue
 
             if defer:
                 # ---- deferred attribute resolution over winning clusters --
@@ -543,9 +569,19 @@ def _emit_traversal(
                             out_ref[9 * ROWS : 10 * ROWS, :],
                             out_ref[10 * ROWS : 11 * ROWS, :],
                         )
-                        tabs = (ta_ref, tb_ref, tc_ref,
-                                aa_ref, ab_ref, ac_ref, ad_ref)
-                        g = lambda t, col: tabs[t][c, col]
+                        if stream is None:
+                            tabs = (ta_ref, tb_ref, tc_ref,
+                                    aa_ref, ab_ref, ac_ref, ad_ref)
+                            g = lambda t, col: tabs[t][c, col]
+                        else:
+                            # re-fetch this winner's geometry block (phase
+                            # C's pipeline overwrote the staging buffer);
+                            # start and wait inside the same predicated
+                            # block, so the semaphore stays balanced
+                            dma = _dma(c, jnp.int32(0))
+                            dma.start()
+                            dma.wait()
+                            g = lambda t, col: buf_ref[t, col]
                         for k in range(CLUSTER_SIZE):
                             ok = mine & (btri == c * CLUSTER_SIZE + k)
                             n0x = g(3, k)
@@ -689,8 +725,9 @@ def _trace_tiles(
     ]
     if stream:
         scratch += [
-            pltpu.VMEM((16, 128), jnp.float32),  # double-buffered cluster
-            pltpu.SemaphoreType.DMA((2,)),
+            # STREAM_PIPE-deep cluster staging (8 rows per slot)
+            pltpu.VMEM((8 * STREAM_PIPE, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((STREAM_PIPE,)),
         ]
     big = pl.pallas_call(
         kernel,
