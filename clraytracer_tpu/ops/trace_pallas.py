@@ -533,31 +533,56 @@ def _emit_traversal(
 
             if defer:
                 # ---- deferred attribute resolution over winning clusters --
-                # Re-walk this instance's survivor list; a cluster that won
-                # at least one lane interpolates its winners' attributes
-                # from the stored (u, v) — same expression tree as the
-                # inline path (w0*a0 + u*a1 + v*a2 in that order), so the
-                # result is bit-identical. Losing clusters cost one
-                # vector-compare + any-reduce instead of 32 interpolations.
-                def attr_resolve(j, carry):
-                    c = cl_scratch[j]
+                # Re-walk this instance's survivor list in chunks of 32; a
+                # cluster that won at least one lane interpolates its
+                # winners' attributes from the stored (u, v) — same
+                # expression tree as the inline path (w0*a0 + u*a1 + v*a2
+                # in that order), so the result is bit-identical. Losing
+                # clusters cost one vector compare + a 1/32nd share of an
+                # OR-tree instead of a full cross-lane any-reduce each.
+                def attr_chunk(ci, carry):
                     btri = jax.lax.bitcast_convert_type(
                         out_ref[3 * ROWS : 4 * ROWS, :], jnp.int32
                     )
                     binst = jax.lax.bitcast_convert_type(
                         out_ref[4 * ROWS : 5 * ROWS, :], jnp.int32
                     )
-                    # |t| < BIG excludes miss lanes (t = +BIG) and dead
-                    # lanes (t = -BIG), whose btri/binst are 0-defaults
-                    # that would otherwise match cluster 0 of instance 0
-                    mine = (
+                    # per-lane winning cluster id; -1 on lanes that missed
+                    # (t = +BIG), died (t = -BIG — their btri/binst are
+                    # 0-defaults that would otherwise match cluster 0 of
+                    # instance 0), or belong to another instance
+                    wc = jnp.where(
                         (jnp.abs(out_ref[0:ROWS, :]) < _BIG)
-                        & (btri // CLUSTER_SIZE == c)
-                        & (binst == jnp.int32(inst))
+                        & (binst == jnp.int32(inst)),
+                        btri // CLUSTER_SIZE,
+                        -1,
                     )
+                    bits = jnp.zeros((ROWS, 128), jnp.int32)
+                    for k in range(32):
+                        j = ci * 32 + k
+                        cj = cl_scratch[
+                            jnp.minimum(j, cl_scratch.shape[0] - 1)
+                        ]
+                        bitv = jnp.where(j < nb, jnp.int32(BITS[k]), 0)
+                        bits = bits | jnp.where(wc == cj, bitv, 0)
+                    m = or_tree(bits)
 
-                    @pl.when(jnp.any(mine))
-                    def _resolve():
+                    def attr_extract(k, carry):
+                        keep = ((m >> k) & 1) == 1
+                        pl.when(keep)(functools.partial(_resolve, ci, k, wc))
+                        return carry
+
+                    return jax.lax.fori_loop(0, 32, attr_extract, carry)
+
+                def _resolve(ci, k, wc):
+                    c = cl_scratch[
+                        jnp.minimum(ci * 32 + k, cl_scratch.shape[0] - 1)
+                    ]
+                    btri = jax.lax.bitcast_convert_type(
+                        out_ref[3 * ROWS : 4 * ROWS, :], jnp.int32
+                    )
+                    mine = wc == c
+                    if True:
                         uu_ = out_ref[ROWS : 2 * ROWS, :]
                         vv_ = out_ref[2 * ROWS : 3 * ROWS, :]
                         w0 = 1.0 - uu_ - vv_
@@ -628,9 +653,9 @@ def _emit_traversal(
                                 (5 + fk) * ROWS : (6 + fk) * ROWS, :
                             ] = val
 
-                    return carry
-
-                jax.lax.fori_loop(0, nb, attr_resolve, jnp.int32(0))
+                jax.lax.fori_loop(
+                    0, (nb + 31) // 32, attr_chunk, jnp.int32(0)
+                )
 
 
 def _make_kernel(
