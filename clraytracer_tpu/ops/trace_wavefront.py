@@ -175,16 +175,18 @@ def _scatter_push(stack: Array, sp: Array, value: Array, mask: Array) -> Array:
     return jnp.where(write, value[:, None], stack)
 
 
-def trace_wavefront(scene: Scene, origin: Array, direction: Array) -> SceneHit:
-    """Batched BVH trace over all instances; drop-in Tracer.
-    ``origin``/``direction``: planar [3, ...]."""
-    shape = origin.shape[1:]
-    flat_o = jnp.moveaxis(origin, 0, -1).reshape(-1, 3)
-    flat_d = jnp.moveaxis(direction, 0, -1).reshape(-1, 3)
+#: rays per sequential chunk. The lock-step state is memory-hungry — the
+#: [N, 48] stack, its double-buffered while-loop carry, and the one-hot
+#: push masks are each ~N*192 B — so an unchunked 1080p frame (2.1M rays)
+#: materializes >10 GB of temporaries and kills the TPU worker. 128k rays
+#: keep the working set ~100 MB; chunks run serially via lax.map.
+WAVEFRONT_CHUNK = 128 * 1024
+
+
+def _trace_all_instances(scene: Scene, flat_o: Array, flat_d: Array) -> SceneHit:
+    """Full instance loop over one flat ray batch → flat SceneHit."""
     best = _empty_hit((flat_o.shape[0],), flat_o, flat_d)
-
     _, _, _, roots = _instance_tables(scene)
-
     for inst in range(int(scene.instances.count)):
         inv = scene.instances.inverse_transform[inst]
         o = math3d.transform_point(flat_o, inv)
@@ -201,6 +203,42 @@ def trace_wavefront(scene: Scene, origin: Array, direction: Array) -> SceneHit:
             mesh_direction=d,
         )
         best = _merge(best, cand)
+    return best
+
+
+def trace_wavefront(scene: Scene, origin: Array, direction: Array) -> SceneHit:
+    """Batched BVH trace over all instances; drop-in Tracer.
+    ``origin``/``direction``: planar [3, ...]."""
+    shape = origin.shape[1:]
+    flat_o = jnp.moveaxis(origin, 0, -1).reshape(-1, 3)
+    flat_d = jnp.moveaxis(direction, 0, -1).reshape(-1, 3)
+    n = flat_o.shape[0]
+
+    if n <= WAVEFRONT_CHUNK:
+        best = _trace_all_instances(scene, flat_o, flat_d)
+    else:
+        pad = -n % WAVEFRONT_CHUNK
+        if pad:
+            flat_o = jnp.concatenate(
+                [flat_o, jnp.zeros((pad, 3), flat_o.dtype)]
+            )
+            # non-zero pad directions so 1/d stays finite
+            flat_d = jnp.concatenate(
+                [flat_d, jnp.ones((pad, 3), flat_d.dtype)]
+            )
+        chunks = jax.lax.map(
+            lambda od: _trace_all_instances(scene, od[0], od[1]),
+            (
+                flat_o.reshape(-1, WAVEFRONT_CHUNK, 3),
+                flat_d.reshape(-1, WAVEFRONT_CHUNK, 3),
+            ),
+        )
+        best = SceneHit(
+            *(
+                x.reshape((-1,) + x.shape[2:])[:n] if x is not None else None
+                for x in chunks
+            )
+        )
 
     return SceneHit(
         *(x.reshape(shape + x.shape[1:]) if x is not None else None for x in best)

@@ -348,3 +348,18 @@ def test_streamed_tables_match_resident(monkeypatch):
     # FMA-contraction choices in the shading chain (measured: 1-2 px off by
     # 1 ULP at 48x32). On real TPU both compile natively.
     np.testing.assert_allclose(img_s, img_r, rtol=3e-6, atol=3e-7)
+
+
+def test_wavefront_chunked_matches_unchunked(two_instance_scene, monkeypatch):
+    """Ray chunking (lax.map over WAVEFRONT_CHUNK-ray batches — the
+    unchunked 1080p state killed the TPU worker) must not change results."""
+    from clraytracer_tpu.ops import trace_wavefront as tw
+
+    _, o, d = _camera_rays(32, 24, position=(0.0, 1.0, 8.0))
+    ref = tw.trace_wavefront(two_instance_scene, o, d)
+    monkeypatch.setattr(tw, "WAVEFRONT_CHUNK", 128)  # force many chunks
+    chunked = tw.trace_wavefront(two_instance_scene, o, d)
+    # not bit-equal: lax.map changes XLA fusion boundaries, so t values can
+    # differ by 1 ULP and flip shared-edge ties — the same class of seam
+    # noise assert_hits_match tolerates between tracers
+    assert_hits_match(ref, chunked)
