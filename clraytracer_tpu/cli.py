@@ -55,6 +55,19 @@ def build_scene(spec: str, tris: int = 4096):
         c = b.add_mesh(cube(1.0), materials_start=m2)
         b.add_instance(s, math3d.translation(-2.0, 1.0, 0.0))
         b.add_instance(c, math3d.rotation_y(0.7) @ math3d.translation(2.5, 0.5, -1.0))
+    elif spec == "glass":
+        # refraction demo (render with --refraction): a transmissive sphere
+        # in front of a checkered backdrop sphere
+        m_glass = b.create_material(
+            albedo=(0.95, 0.98, 1.0), transmission=0.85, shininess=2.0,
+            roughness=0.1,
+        )
+        checker = b.import_procedural(ptex.checker(64, 8))
+        m_back = b.create_material(albedo=(0.9, 0.5, 0.3), albedo_tex=checker)
+        glass = b.add_mesh(uv_sphere(1.5, 24, 48), materials_start=m_glass)
+        back = b.add_mesh(uv_sphere(2.5, 16, 32), materials_start=m_back)
+        b.add_instance(glass, math3d.translation(0.0, 0.5, 2.5))
+        b.add_instance(back, math3d.translation(0.0, 0.5, -3.0))
     elif spec == "field":
         mat = b.create_material(albedo=(0.7, 0.7, 0.9))
         mesh = b.add_mesh(sphere_field(n_side=6, n_lat=16, n_lon=32), materials_start=mat)
@@ -140,6 +153,8 @@ def cmd_render(args) -> int:
         enable_fxaa=args.fxaa,
         enable_post=not args.no_post,
         enable_shadows=args.shadows,
+        enable_refraction=args.refraction,
+        refraction_ior=args.ior,
         samples=args.spp,
     )
     t0 = time.perf_counter()
@@ -382,7 +397,7 @@ def main(argv: list[str] | None = None) -> int:
 
     def common(p):
         p.add_argument("--scene", default="sphere",
-                       help="sphere | two | field | museum | path (.obj/.clm/.clsnap.npz)")
+                       help="sphere | two | glass | field | museum | path (.obj/.clm/.clsnap.npz)")
         p.add_argument("--width", type=int, default=1024)
         p.add_argument("--height", type=int, default=768)
         p.add_argument("--tris", type=int, default=4096)
@@ -402,6 +417,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-post", action="store_true")
     p.add_argument("--shadows", action="store_true",
                    help="sun shadow rays (beyond the reference: its TODO)")
+    p.add_argument("--refraction", action="store_true",
+                   help="Snell refraction through transmissive materials "
+                   "(beyond the reference: its TODO); see the 'glass' scene")
+    p.add_argument("--ior", type=float, default=1.45,
+                   help="index of refraction for --refraction")
     p.add_argument("--spp", type=int, default=1,
                    help="sub-pixel samples per pixel (supersampling AA)")
     p.add_argument("--profile-dir", default=None,

@@ -49,6 +49,12 @@ class RenderConfig:
     # factor but never implements it (kernel_main.cl:258, README.md:11
     # "TODO shadows"); off by default for reference parity.
     enable_shadows: bool = False
+    # Snell refraction through materials with transmission > 0 (also on the
+    # reference's TODO list, README.md:12 "refraction"); off by default for
+    # reference parity. Refracting lanes continue through the surface
+    # instead of reflecting (total internal reflection falls back).
+    enable_refraction: bool = False
+    refraction_ior: float = 1.45
     # Reproduce the reference kernel's hard-coded shading constants
     # (kernel_main.cl:248-250 override material specular/roughness/shininess).
     reference_parity_shading: bool = True

@@ -384,6 +384,8 @@ def shade_hits(
     integer_colors: bool = True,
     attrs: tuple[Array, Array, Array, Array] | None = None,
     shadow_tracer=None,  # Tracer | None: sun-occlusion query (shadows)
+    enable_refraction: bool = False,
+    refraction_ior: float = 1.45,
 ) -> BounceState:
     """Apply one bounce of shading + update throughput (planar).
 
@@ -524,6 +526,37 @@ def shade_hits(
     new_origin = point + normal * 0.01
     new_direction = planar.reflect(state.direction, normal)
 
+    # ---- refraction (NEW beyond the reference — on its TODO list,
+    # README.md:12): Whitted-style single continuation. Lanes hitting a
+    # material with transmission > 0 continue by Snell refraction through
+    # the surface (shading normal, entering/exiting by the sign of d.n,
+    # total internal reflection falls back to the mirror ray); their
+    # specular energy carry is replaced by the transmission factor and the
+    # direct surface terms are attenuated by (1 - transmission). Off by
+    # default — exact reference behavior is untouched.
+    use_refr = None
+    if enable_refraction:
+        trans = jnp.take(
+            scene.materials.transmission, mat_id, mode="clip"
+        )
+        cos_i = -planar.dot(state.direction, normal)
+        n_eff = jnp.where(cos_i[None] >= 0.0, normal, -normal)
+        ci = jnp.abs(cos_i)
+        eta = jnp.where(
+            cos_i >= 0.0,
+            jnp.float32(1.0 / refraction_ior),
+            jnp.float32(refraction_ior),
+        )
+        kk = 1.0 - eta * eta * (1.0 - ci * ci)
+        refr_dir = planar.normalize(
+            planar.scale(state.direction, eta)
+            + planar.scale(n_eff, eta * ci - jnp.sqrt(jnp.maximum(kk, 0.0)))
+        )
+        use_refr = hit & (trans > 0.0) & (kk >= 0.0)
+        new_direction = planar.where(use_refr, refr_dir, new_direction)
+        # continuation starts just BEHIND the surface for refracted rays
+        new_origin = planar.where(use_refr, point - n_eff * 0.01, new_origin)
+
     # ---- Phong shade (kernel_main.cl:258-271) -----------------------------
     # ``shadow`` is the reference's declared-but-unimplemented sun-shadow
     # factor (kernel_main.cl:258, README.md:11 "TODO shadows"); with a
@@ -556,6 +589,15 @@ def shade_hits(
         + ambient
         + spec_light[None]
     )
+    if use_refr is not None:
+        # transparent surfaces pass (1 - transmission) of their direct
+        # terms and carry `transmission` into the refracted continuation
+        contrib = planar.where(
+            use_refr, planar.scale(contrib, 1.0 - trans), contrib
+        )
+        specular = planar.where(
+            use_refr, jnp.broadcast_to(trans[None], specular.shape), specular
+        )
     result = planar.where(live, result + contrib, result)
 
     return BounceState(

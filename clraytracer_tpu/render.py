@@ -84,6 +84,8 @@ def trace_planar(
     reference_parity: bool,
     integer_colors: bool,
     enable_shadows: bool = False,
+    enable_refraction: bool = False,
+    refraction_ior: float = 1.45,
 ) -> Array:
     """N-bounce trace + shade over planar rays; returns [3, *spatial]
     radiance. Shading reconstructs the object-space ray of the winning
@@ -118,6 +120,7 @@ def trace_planar(
     result = bounce_loop(
         scene, origin, direction, sun_angle, bounces, tracer,
         reference_parity, integer_colors, enable_shadows,
+        enable_refraction, refraction_ior,
     )
     return result.reshape(3, -1)[:, :n].reshape((3,) + spatial)
 
@@ -132,6 +135,8 @@ def bounce_loop(
     reference_parity: bool,
     integer_colors: bool,
     enable_shadows: bool = False,
+    enable_refraction: bool = False,
+    refraction_ior: float = 1.45,
 ) -> Array:
     """The N-bounce trace+shade core over ray-linear rays (no relayouts).
 
@@ -141,7 +146,7 @@ def bounce_loop(
     trace, shade, and reflect per bounce without leaving VMEM; only the
     deferred skybox add runs in XLA (ops/render_pallas.py). Matches the
     two-phase path below to float precision (1080p frame 20.0 -> 6.9 ms)."""
-    if tracer is trace_pallas:
+    if tracer is trace_pallas and not enable_refraction:
         from clraytracer_tpu.ops.render_pallas import (
             fused_path_available,
             render_fused,
@@ -170,6 +175,8 @@ def bounce_loop(
             integer_colors=integer_colors,
             attrs=attrs,
             shadow_tracer=tracer if (enable_shadows and b == 0) else None,
+            enable_refraction=enable_refraction,
+            refraction_ior=refraction_ior,
         )
     return state.result
 
@@ -184,6 +191,8 @@ def trace_image(
     reference_parity: bool = True,
     integer_colors: bool = True,
     enable_shadows: bool = False,
+    enable_refraction: bool = False,
+    refraction_ior: float = 1.45,
 ) -> Array:
     """Linear [H, W, 3] radiance before post-processing — the Trace kernel's
     output image (kernel_main.cl:164-275).
@@ -199,6 +208,7 @@ def trace_image(
     result, layout = _trace_tiled(
         scene, frame, width, height, bounces, tracer,
         reference_parity, integer_colors, enable_shadows,
+        enable_refraction, refraction_ior,
     )
     img = _untile(result, layout, height, width)
     return planar.to_last(img, (height, width))
@@ -214,6 +224,8 @@ def _trace_tiled(
     reference_parity: bool,
     integer_colors: bool,
     enable_shadows: bool = False,
+    enable_refraction: bool = False,
+    refraction_ior: float = 1.45,
 ) -> tuple[Array, tuple]:
     """Trace the frame in screen-tile order; returns the raw
     ``[3, rows, 128]`` radiance plus a tagged tile layout —
@@ -222,7 +234,7 @@ def _trace_tiled(
     index pixels inside it (post.vignette masks)."""
     from clraytracer_tpu.ops.trace_pallas import _tile_rows
 
-    if tracer is trace_pallas:
+    if tracer is trace_pallas and not enable_refraction:
         from clraytracer_tpu.ops import render_pallas as rp
 
         if rp.fused_path_available(scene, reference_parity, integer_colors):
@@ -244,6 +256,7 @@ def _trace_tiled(
     result = bounce_loop(
         scene, origin, dirs, frame.sun_angle, bounces, tracer,
         reference_parity, integer_colors, enable_shadows,
+        enable_refraction, refraction_ior,
     )
     return result, ("strip", trows, tiles_x, tiles_y)
 
@@ -314,6 +327,8 @@ def render_frame(
                 reference_parity=config.reference_parity_shading,
                 integer_colors=config.integer_colors,
                 enable_shadows=config.enable_shadows,
+                enable_refraction=config.enable_refraction,
+                refraction_ior=config.refraction_ior,
             )
             acc = img if acc is None else acc + img
         img = acc * (1.0 / config.samples)
@@ -331,7 +346,8 @@ def render_frame(
         result, layout = _trace_tiled(
             scene, frame, config.width, config.height, config.bounces,
             tracer, config.reference_parity_shading, config.integer_colors,
-            config.enable_shadows,
+            config.enable_shadows, config.enable_refraction,
+            config.refraction_ior,
         )
         result = post_process_tiled(
             result, config.width, config.height, layout
@@ -349,6 +365,8 @@ def render_frame(
         reference_parity=config.reference_parity_shading,
         integer_colors=config.integer_colors,
         enable_shadows=config.enable_shadows,
+        enable_refraction=config.enable_refraction,
+        refraction_ior=config.refraction_ior,
     )
     if config.enable_post:
         img = post_process(img, enable_fxaa=config.enable_fxaa)

@@ -58,6 +58,7 @@ class _MatRec:
     specular_tex: int
     shininess: float
     roughness: float
+    transmission: float = 0.0  # NEW beyond reference (see Materials)
 
 
 @dataclasses.dataclass
@@ -112,6 +113,7 @@ class SceneBuilder:
         specular_tex: int = WHITE_TEXTURE,
         shininess: float = 2.2,
         roughness: float = 0.6,
+        transmission: float = 0.0,
     ) -> int:
         """ResourceManager::CreateMaterial equivalent; returns the handle."""
         if len(self._materials) >= self.pools.max_materials:
@@ -124,6 +126,7 @@ class SceneBuilder:
                 specular_tex=specular_tex,
                 shininess=shininess,
                 roughness=roughness,
+                transmission=transmission,
             )
         )
         return len(self._materials) - 1
@@ -345,6 +348,10 @@ class SceneBuilder:
             roughness=jnp.asarray([m.roughness for m in self._materials], jnp.float32),
             color_u32=jnp.asarray(math3d.pack_rgb_u32(albedo), jnp.uint32),
             specular_u32=jnp.asarray(math3d.pack_rgb_u32(specular), jnp.uint32),
+            transmission=jnp.asarray(
+                [getattr(m, "transmission", 0.0) for m in self._materials],
+                jnp.float32,
+            ),
         )
 
         skybox = 2 if self.atlas.num_textures > 2 else WHITE_TEXTURE

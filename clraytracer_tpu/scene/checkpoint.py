@@ -45,7 +45,7 @@ log = get_logger(__name__)
 #: Bump on layout changes (the reference's CMeshVersion discipline,
 #: AssetManager.cpp:291). Mismatch raises — a checkpoint is authoritative
 #: state, not a cache that can fall back to re-import.
-CHECKPOINT_VERSION = 1
+CHECKPOINT_VERSION = 2  # v2: Materials.transmission (refraction channel)
 
 SNAPSHOT_SUFFIX = ".clsnap.npz"
 

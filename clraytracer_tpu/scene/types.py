@@ -128,6 +128,12 @@ class Materials:
     roughness: Array  # [M] f32 (reference stores half; from MTL 'd')
     color_u32: Array  # [M] u32 packed 0x00BBGGRR
     specular_u32: Array  # [M] u32
+    #: [M] f32 in [0, 1] — NEW beyond the reference (refraction is on its
+    #: TODO list, README.md:12): fraction of the continuation ray that
+    #: refracts through the surface when RenderConfig.enable_refraction is
+    #: set; 0 (the default everywhere, incl. every imported MTL/.clm
+    #: material) keeps exact reference behavior.
+    transmission: Array
 
     @property
     def count(self) -> int:
