@@ -375,9 +375,19 @@ class SceneBuilder:
         # cluster tables for the Pallas tile tracer (built from the
         # BVH-reordered, spatially coherent triangle order); shading attrs
         # packed alongside so the kernel interpolates them in-VMEM
+        from clraytracer_tpu.ops.clusters import subtree_cluster_ranges
+
         ct = build_clusters(
             hv0, hv1, hv2, bvh.mesh_tri_start, bvh.mesh_tri_count,
             attrs=h_tri_attr,
+            # BVH-subtree-aligned clusters: ~2.2-2.4x tighter AABBs than
+            # fixed 32-triangle runs (see subtree_cluster_ranges)
+            cluster_ranges=[
+                subtree_cluster_ranges(
+                    build.left_first, build.tri_count, int(root)
+                )
+                for root in build.roots
+            ],
         )
         pad8 = lambda mn, mx: np.concatenate(
             [mn, mx, np.zeros((mn.shape[0], 2), np.float32)], axis=1
