@@ -100,3 +100,69 @@ def hemisphere_sample(state: Array, normal: Array) -> tuple[Array, Array]:
         ]
     )
     return d, state
+
+
+class PCG32:
+    """Host-side PCG32, bit-exact with the reference's ``Random::PCG``
+    (Random.hpp:106-138; the standard pcg32 from pcg-random.org) —
+    vectorized over numpy uint64 state arrays. The reference uses it
+    host-side (shuffles, seeds); device streams use :func:`xorshift32`.
+
+    Constructor forms mirror the reference:
+    ``PCG32()`` (default state), ``PCG32(seed)`` (Random.hpp:114-117:
+    default state, inc = seed << 1 | 1), ``PCG32(initstate, seed)``
+    (Random.hpp:119-125: the canonical pcg32_srandom).
+    """
+
+    _MUL = 6364136223846793005
+    _M64 = (1 << 64) - 1
+
+    def __init__(self, seed=None, initstate=None):
+        import numpy as _np
+
+        if seed is None:
+            self.state = _np.asarray(0x853C49E6748FEA9B, _np.uint64)
+            self.inc = _np.asarray(0xDA3E39CB94B95BDB, _np.uint64)
+        elif initstate is None:
+            self.state = _np.broadcast_to(
+                _np.asarray(0x853C49E6748FEA9B, _np.uint64),
+                _np.shape(seed),
+            ).copy() if _np.ndim(seed) else _np.asarray(
+                0x853C49E6748FEA9B, _np.uint64
+            )
+            self.inc = (
+                (_np.asarray(seed, _np.uint64) << _np.uint64(1))
+                | _np.uint64(1)
+            )
+        else:
+            self.state = _np.zeros_like(_np.asarray(seed, _np.uint64))
+            self.inc = (
+                (_np.asarray(seed, _np.uint64) << _np.uint64(1))
+                | _np.uint64(1)
+            )
+            self.next()
+            self.state = self.state + _np.asarray(initstate, _np.uint64)
+            self.next()
+
+    def next(self):
+        """One pcg32 step → uint32 sample(s) (Random.hpp:130-138)."""
+        import numpy as _np
+
+        old = self.state
+        with _np.errstate(over="ignore"):
+            self.state = (
+                old * _np.uint64(self._MUL) + (self.inc | _np.uint64(1))
+            )
+        xorshifted = ((old >> _np.uint64(18)) ^ old) >> _np.uint64(27)
+        rot = (old >> _np.uint64(59)).astype(_np.uint32)
+        x32 = xorshifted.astype(_np.uint32)
+        with _np.errstate(over="ignore"):
+            return (x32 >> rot) | (x32 << ((-rot) & _np.uint32(31)))
+
+    def next_float01(self):
+        """float(Next() >> 8) / 2^24 (Random.hpp:82)."""
+        import numpy as _np
+
+        return (self.next() >> _np.uint32(8)).astype(_np.float32) * _np.float32(
+            1.0 / 16777216.0
+        )

@@ -93,3 +93,41 @@ def test_hemisphere_sample_above_surface():
     cos = np.asarray(planar.dot(jnp.asarray(d), n))
     assert (cos >= -1e-6).all()
     assert (np.asarray(state2) != np.asarray(state)).all()
+
+
+def test_pcg32_matches_reference_sequence():
+    """Host PCG32 vs a pure-python-int replica of the reference's
+    Random::PCG (Random.hpp:106-138, the canonical pcg32)."""
+    from clraytracer_tpu.ops.rng import PCG32
+
+    M64 = (1 << 64) - 1
+
+    def ref_pcg(initstate, seed, n):
+        state, inc = 0, ((seed << 1) | 1) & M64
+
+        def nxt():
+            nonlocal state
+            old = state
+            state = (old * 6364136223846793005 + (inc | 1)) & M64
+            xorshifted = (((old >> 18) ^ old) >> 27) & M64
+            rot = old >> 59
+            x32 = xorshifted & 0xFFFFFFFF
+            return ((x32 >> rot) | (x32 << ((-rot) & 31))) & 0xFFFFFFFF
+
+        nxt()
+        state = (state + initstate) & M64
+        nxt()
+        return [nxt() for _ in range(n)]
+
+    r = PCG32(seed=np.uint64(42), initstate=np.uint64(12345))
+    assert [int(r.next()) for _ in range(8)] == ref_pcg(12345, 42, 8)
+    # vectorized: every lane an independent stream
+    rv = PCG32(seed=np.arange(4, dtype=np.uint64) + 1,
+               initstate=np.full(4, 7, np.uint64))
+    v1, v2 = rv.next(), rv.next()
+    for i in range(4):
+        e = ref_pcg(7, i + 1, 2)
+        assert int(v1[i]) == e[0] and int(v2[i]) == e[1]
+    # uniform floats use the reference's 24-bit mantissa scaling
+    f = PCG32(seed=np.uint64(1)).next_float01()
+    assert 0.0 <= float(f) < 1.0
