@@ -133,7 +133,7 @@ def _make_render_kernel(
         if stream:
             geo_ref = rest[0]  # [8C, 128] ANY (HBM) — see Clusters.geo_stream
             (out_ref, sc_scratch, sk_scratch, cl_scratch, bits_scratch,
-             hs_ref, buf_ref, sem_ref) = rest[1:]
+             bx_scratch, hs_ref, buf_ref, sem_ref) = rest[1:]
             tables = (None,) * 7
             stream_refs = (geo_ref, buf_ref, sem_ref)
         else:
@@ -150,6 +150,7 @@ def _make_render_kernel(
                 sk_scratch,  # SMEM [S_total] f32
                 cl_scratch,  # SMEM [C_total] i32
                 bits_scratch,  # VMEM [8, 128] i32 OR-tree staging
+                bx_scratch,  # SMEM [32*6] f32 chunk box stash
                 hs_ref,  # VMEM [11*ROWS, 128] per-bounce hit scratch
             ) = rest
             tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
@@ -225,6 +226,7 @@ def _make_render_kernel(
                     sk_scratch,
                     cl_scratch,
                     bits_scratch,
+                    bx_scratch,
                     live=live_mask,
                     stream=stream_refs,
                 )
@@ -352,6 +354,7 @@ def _make_render_kernel(
                         sk_scratch,
                         cl_scratch,
                         bits_scratch,
+                        bx_scratch,
                         live=live_mask,
                         stream=stream_refs,
                     )
@@ -460,11 +463,16 @@ def _render_tiles(
     geo_specs = (
         [pl.BlockSpec(memory_space=pl.ANY)] if stream else [full] * 7
     )
+    # survivor-list capacities: TRUE supercluster/cluster totals (the
+    # packed AABB tables hold 16 boxes per row, so their shapes undercount)
+    s_total = max(max(r[0] + r[1] for r in instance_ranges), 2)
+    c_total = max(max(r[2] + r[3] for r in instance_ranges), 2)
     scratch = [
-        pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
-        pltpu.SMEM((max(scab.shape[0], 2),), jnp.float32),
-        pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
+        pltpu.SMEM((s_total,), jnp.int32),
+        pltpu.SMEM((s_total,), jnp.float32),
+        pltpu.SMEM((c_total,), jnp.int32),
         pltpu.VMEM((8, 128), jnp.int32),  # OR-tree staging (or_tree)
+        pltpu.SMEM((32 * 6,), jnp.float32),  # chunk box stash
         pltpu.VMEM((11 * ROWS, 128), jnp.float32),
     ]
     if stream:

@@ -109,6 +109,11 @@ def _emit_traversal(
     bits_scratch=None,  # VMEM [8, 128] i32 — OR-tree staging for the
     #   chunked phase A/B bitmask compaction (the reduced lane mask is
     #   written here so the scalar unit can read it back)
+    bx_scratch=None,  # SMEM [32*6] f32 — the current chunk's box stash:
+    #   phases A/B write each tested box's 6 scalars while unrolling (the
+    #   packed AABB tables only support static-column reads); the sort-key
+    #   and occlusion-recheck passes, whose box ids are fully traced, read
+    #   from here
     live=None,  # optional [ROWS, 128] bool — lanes whose rays are still
     #   alive. Dead lanes get best_t = -BIG, which fails every slab test's
     #   ``tnear < best_t`` and every accept's ``t < best_t``: clusters whose
@@ -182,15 +187,14 @@ def _emit_traversal(
             # (inv_d = inf — every shadow ray has d.x == 0) into inf - inf
             # = NaN, which culls clusters that genuinely occlude. Measured
             # no speedup from the FMA form anyway.
-            def slab_hits(ref, row, bt):
-                """Conservative per-ray slab test of one AABB row →
-                (hit mask, per-ray tnear)."""
-                t0x = (ref[row, 0] - ox) * idx
-                t1x = (ref[row, 3] - ox) * idx
-                t0y = (ref[row, 1] - oy) * idy
-                t1y = (ref[row, 4] - oy) * idy
-                t0z = (ref[row, 2] - oz) * idz
-                t1z = (ref[row, 5] - oz) * idz
+            def _slab_core(b, bt):
+                """(hit mask, tnear) from 6 box scalars (min xyz, max xyz)."""
+                t0x = (b[0] - ox) * idx
+                t1x = (b[3] - ox) * idx
+                t0y = (b[1] - oy) * idy
+                t1y = (b[4] - oy) * idy
+                t0z = (b[2] - oz) * idz
+                t1z = (b[5] - oz) * idz
                 tnear = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
                     jnp.minimum(t0z, t1z),
@@ -201,6 +205,33 @@ def _emit_traversal(
                 )
                 hit = (tnear <= tfar) & (tfar > 0.0) & (tnear < bt)
                 return hit, tnear
+
+            def slab_hits(ref, base16, off, k, bt, stash=None):
+                """Conservative slab test of box ``base16 + off + k`` from a
+                packed 16-boxes-per-row AABB table (scene/builder.py pad8).
+
+                Mosaic only compiles scalar VMEM reads at [traced row,
+                STATIC column], and it cannot prove a traced expression is
+                a multiple of 16 — so the split is done in PYTHON here:
+                ``base16`` is a traced value that is a multiple of 16 by
+                construction (chunk_index * 32), ``off``/``k`` are python
+                ints, and the packed column ((off + k) % 16) * 8 + c is a
+                compile-time constant. Callers with fully-traced box ids
+                read a chunk's SMEM ``stash`` instead (written here: 6
+                scalar stores per box, hidden under the ~170 vector cycles
+                of the test)."""
+                row = base16 // 16 + (off + k) // 16
+                col = ((off + k) % 16) * 8  # python-static
+                b = [ref[row, col + c] for c in range(6)]
+                if stash is not None:
+                    for c in range(6):
+                        stash[k * 6 + c] = b[c]
+                return _slab_core(b, bt)
+
+            def slab_hits_stash(stash, k, bt):
+                """Slab test from a chunk's SMEM box stash (fully traced
+                index — SMEM supports it, packed VMEM does not)."""
+                return _slab_core([stash[k * 6 + c] for c in range(6)], bt)
 
             # best_t from previous instances: constant through phases A/B
             bt_in = out_ref[0:ROWS, :]
@@ -232,10 +263,12 @@ def _emit_traversal(
             def chunk_a(ci, cnt, width):
                 bits = jnp.zeros((ROWS, 128), jnp.int32)
                 for k in range(width):  # static unroll: ILP across slabs
-                    s = ci * 32 + k
-                    hit, _ = slab_hits(scab_ref, sc0 + s, bt_in)
+                    hit, _ = slab_hits(
+                        scab_ref, ci * 32, sc0, k, bt_in, stash=bx_scratch
+                    )
                     bits = bits | jnp.where(hit, jnp.int32(BITS[k]), 0)
                 m = or_tree(bits)
+                cnt0 = cnt
 
                 def extract(k, cnt):
                     keep = ((m >> k) & 1) == 1
@@ -245,7 +278,20 @@ def _emit_traversal(
                     )
                     return cnt + keep.astype(jnp.int32)
 
-                return jax.lax.fori_loop(0, width, extract, cnt)
+                cnt = jax.lax.fori_loop(0, width, extract, cnt)
+
+                # survivors' min-tnear sort keys, from this chunk's SMEM box
+                # stash (recomputed per survivor: na is small, and this
+                # keeps the chunk loop free of min-reduces)
+                def key_pass(i, _):
+                    hit, tnear = slab_hits_stash(
+                        bx_scratch, sc_scratch[i] - ci * 32, bt_in
+                    )
+                    sk_scratch[i] = jnp.min(jnp.where(hit, tnear, _BIG))
+                    return _
+
+                jax.lax.fori_loop(cnt0, cnt, key_pass, jnp.int32(0))
+                return cnt
 
             na = jnp.int32(0)
             if sc_n > 32:
@@ -257,15 +303,6 @@ def _emit_traversal(
                 )
             if sc_n % 32:
                 na = chunk_a(jnp.int32(sc_n // 32), na, sc_n % 32)
-
-            # survivors' min-tnear sort keys (recomputed per survivor: na is
-            # small, and this keeps the chunk loop free of min-reduces)
-            def key_pass(i, _):
-                hit, tnear = slab_hits(scab_ref, sc0 + sc_scratch[i], bt_in)
-                sk_scratch[i] = jnp.min(jnp.where(hit, tnear, _BIG))
-                return _
-
-            jax.lax.fori_loop(0, na, key_pass, jnp.int32(0))
 
             # ---- front-to-back: bubble-sort survivors by min-tnear --------
             # na is small (tris/1024); a flat na*(na) scalar compare-swap
@@ -315,9 +352,10 @@ def _emit_traversal(
             defer = variant == "full"
             phase_c_variant = "noattr" if defer else variant
 
-            def phase_c(j, end):
+            def phase_c(j, end, s):
                 # ``end`` (loop carry, constant) is this supercluster's
-                # survivor-range end — the DMA prefetch horizon.
+                # survivor-range end — the DMA prefetch horizon; ``s`` its
+                # (traced) supercluster index, for the SMEM box-stash read.
                 c = cl_scratch[j]
                 dslot = jax.lax.rem(j, STREAM_PIPE)  # DMA pipeline slot
                 if stream is not None:
@@ -342,7 +380,9 @@ def _emit_traversal(
 
                     _wait_dma(c, dslot)
                 bt_run = out_ref[0:ROWS, :]
-                any_live, _ = slab_hits(clab_ref, c, bt_run)
+                any_live, _ = slab_hits_stash(
+                    bx_scratch, c - cl0 - s * SUPER_SIZE, bt_run
+                )
 
                 @pl.when(jnp.any(any_live))
                 def _batch():
@@ -478,13 +518,18 @@ def _emit_traversal(
             def super_pass(jj, cnt):
                 s = sc_scratch[jj]
                 # cluster cull vs the RUNNING best-t (tightened by the
-                # superclusters already intersected in front of this one)
+                # superclusters already intersected in front of this one).
+                # Reads past a mesh's last cluster land on the next mesh's
+                # boxes (or the table's trailing empty pad) and are masked
+                # by the c_local < cl_n bit below.
                 bt_run = out_ref[0:ROWS, :]
                 bits = jnp.zeros((ROWS, 128), jnp.int32)
                 for k in range(width_b):  # static unroll
                     c_local = s * SUPER_SIZE + k
-                    c = cl0 + jnp.minimum(c_local, cl_n - 1)
-                    hit, _ = slab_hits(clab_ref, c, bt_run)
+                    hit, _ = slab_hits(
+                        clab_ref, s * SUPER_SIZE, cl0, k, bt_run,
+                        stash=bx_scratch,
+                    )
                     bitv = jnp.where(c_local < cl_n, jnp.int32(BITS[k]), 0)
                     bits = bits | jnp.where(hit, bitv, 0)
                 m = or_tree(bits)
@@ -523,7 +568,9 @@ def _emit_traversal(
                                 jax.lax.rem(cnt0 + k, STREAM_PIPE),
                             )
 
-                jax.lax.fori_loop(cnt0, cnt, phase_c, cnt)
+                jax.lax.fori_loop(
+                    cnt0, cnt, lambda j, end: phase_c(j, end, s), cnt
+                )
                 return cnt
 
             nb = jax.lax.fori_loop(0, na, super_pass, jnp.int32(0))
@@ -681,13 +728,13 @@ def _make_kernel(
          inv_ref, scab_ref, clab_ref) = refs[:9]
         if stream:
             (geo_ref, out_ref, sc_scratch, sk_scratch, cl_scratch,
-             bits_scratch, buf_ref, sem_ref) = refs[9:]
+             bits_scratch, bx_scratch, buf_ref, sem_ref) = refs[9:]
             tables = (None,) * 7
             stream_refs = (geo_ref, buf_ref, sem_ref)
         else:
             (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref,
              out_ref, sc_scratch, sk_scratch, cl_scratch,
-             bits_scratch) = refs[9:]
+             bits_scratch, bx_scratch) = refs[9:]
             tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
             stream_refs = None
         rays = (
@@ -697,7 +744,7 @@ def _make_kernel(
         _emit_traversal(
             rays, out_ref, ROWS, instance_ranges, variant,
             inv_ref, scab_ref, clab_ref, *tables,
-            sc_scratch, sk_scratch, cl_scratch, bits_scratch,
+            sc_scratch, sk_scratch, cl_scratch, bits_scratch, bx_scratch,
             stream=stream_refs,
         )
 
@@ -742,11 +789,16 @@ def _trace_tiles(
     geo_specs = (
         [pl.BlockSpec(memory_space=pl.ANY)] if stream else [full] * 7
     )
+    # survivor-list capacities: TRUE supercluster/cluster totals (the
+    # packed AABB tables hold 16 boxes per row, so their shapes undercount)
+    s_total = max(max(r[0] + r[1] for r in instance_ranges), 2)
+    c_total = max(max(r[2] + r[3] for r in instance_ranges), 2)
     scratch = [
-        pltpu.SMEM((max(scab.shape[0], 2),), jnp.int32),
-        pltpu.SMEM((max(scab.shape[0], 2),), jnp.float32),
-        pltpu.SMEM((max(clab.shape[0], 2),), jnp.int32),
+        pltpu.SMEM((s_total,), jnp.int32),
+        pltpu.SMEM((s_total,), jnp.float32),
+        pltpu.SMEM((c_total,), jnp.int32),
         pltpu.VMEM((8, 128), jnp.int32),  # OR-tree staging (or_tree)
+        pltpu.SMEM((32 * 6,), jnp.float32),  # chunk box stash
     ]
     if stream:
         scratch += [
@@ -783,8 +835,11 @@ VMEM_TABLE_BUDGET = 12 * 1024 * 1024
 
 def _table_bytes(clusters) -> int:
     c = clusters.tri_a.shape[0]
-    s = clusters.super_aabb.shape[0]
-    return c * (7 * 128 * 4 + 8 * 4) + s * 8 * 4
+    return (
+        c * 7 * 128 * 4
+        + clusters.cluster_aabb.size * 4
+        + clusters.super_aabb.size * 4
+    )
 
 
 def trace_pallas(

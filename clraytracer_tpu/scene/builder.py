@@ -389,9 +389,26 @@ class SceneBuilder:
                 for root in build.roots
             ],
         )
-        pad8 = lambda mn, mx: np.concatenate(
-            [mn, mx, np.zeros((mn.shape[0], 2), np.float32)], axis=1
-        )
+        def pad8(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
+            """Pack AABBs 16-per-row: [N, 8] (min xyz | max xyz | 2 pad)
+            rows would be lane-padded 16x by the TPU's (8, 128) tiling —
+            22 MB of VMEM for a 1M-tri scene's cluster boxes. The packed
+            [ceil(N/16), 128] layout stores box ``i`` at
+            [i // 16, (i % 16) * 8 + c]; padding rows are inverted-empty
+            boxes (min +BIG, max -BIG) that fail every slab test."""
+            n = mn.shape[0]
+            flat = np.concatenate(
+                [mn, mx, np.zeros((n, 2), np.float32)], axis=1
+            ).astype(np.float32)
+            # 32 extra empty boxes beyond the lane pad: a partial last
+            # chunk's static unroll may read up to 31 boxes past the table
+            # end (masked, but the addresses must stay in bounds)
+            pad = (-n % 16) + 32
+            empty = np.zeros((pad, 8), np.float32)
+            empty[:, 0:3] = 1e30
+            empty[:, 3:6] = -1e30
+            flat = np.concatenate([flat, empty])
+            return flat.reshape(-1, 128)
         # scenes beyond the Pallas VMEM table budget additionally get the
         # HBM-streaming layout: the 7 tables stacked 8 rows per cluster
         # ([8C, 128]; row 7 is padding for tile-aligned 4 KiB DMAs) so the

@@ -170,8 +170,11 @@ class Clusters:
     at_c: Array  # [C, 128] f32: n2z|uv0u|uv0v|uv1u
     at_d: Array  # [C, 128] f32: uv1v|uv2u|uv2v|mat_local
     tri_gid: Array  # [C*32] i32: padded slot → global arena triangle index
-    cluster_aabb: Array  # [C, 8] f32: min xyz @ 0..2, max xyz @ 3..5
-    super_aabb: Array  # [S, 8] f32
+    #: AABBs packed 16 boxes per 128-lane row (box i = cols [(i%16)*8,
+    #: +8) of row i//16: min xyz | max xyz | 2 pad) — a [N, 8] layout
+    #: would be lane-padded 16x by TPU (8, 128) tiling
+    cluster_aabb: Array  # [ceil(C/16), 128] f32
+    super_aabb: Array  # [ceil(S/16), 128] f32
     #: [8C, 128] f32 HBM-streaming copy of the 7 geometry tables, packed 8
     #: rows per cluster (tri_a|tri_b|tri_c|at_a..at_d|pad) so one cluster is
     #: one contiguous, tile-aligned 4 KiB DMA. Built only for scenes whose
