@@ -34,6 +34,10 @@ def main() -> None:
                     "default: the built-in textured-sphere config-2 scene")
     ap.add_argument("--camera-pos", type=float, nargs=3, default=None)
     ap.add_argument("--yaw", type=float, default=-90.0)
+    ap.add_argument("--grads", action="store_true",
+                    help="benchmark the DIFFERENTIABLE fwd+bwd step (image "
+                    "L2 loss, gradients w.r.t. every scene leaf) instead of "
+                    "the forward frame (BASELINE configs 3/4)")
     args = ap.parse_args()
 
     import jax
@@ -75,6 +79,9 @@ def main() -> None:
 
     tracer_name = args.tracer or _best_tracer_name(TRACERS)
     tracer = TRACERS[tracer_name]
+
+    if args.grads:
+        return _bench_grads(args, scene, frame, config, scene_label)
 
     # Honest timing on a tunneled TPU: block_until_ready can return before
     # device work completes (measured 50x too fast), so the per-frame time is
@@ -122,6 +129,59 @@ def main() -> None:
             {
                 "metric": f"fwd rays/s, {args.width}x{args.height}x"
                 f"{config.bounces}bounce {scene_label}, tracer={tracer_name}",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / 1000.0, 4),
+            }
+        )
+    )
+
+
+def _bench_grads(args, scene, frame, config, scene_label) -> None:
+    """fwd+bwd rays/s: one differentiable render + L2 loss + gradients
+    w.r.t. every scene leaf per rep (the float shading path — the integer
+    reference-parity modulate is non-differentiable)."""
+    import jax
+    import jax.numpy as jnp
+
+    from clraytracer_tpu.diff import image_loss_and_grads
+
+    W, H = args.width, args.height
+
+    def chain(reps: int):
+        @jax.jit
+        def run(s, f):
+            def body(i, acc):
+                loss, grads = image_loss_and_grads(
+                    s, f._replace(sun_angle=f.sun_angle + acc * 1e-20), W, H
+                )
+                return (
+                    acc * 0.5
+                    + loss * 1e-6
+                    + jnp.sum(grads.materials.albedo) * 1e-9
+                    + jnp.sum(grads.atlas.texels) * 1e-12
+                )
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+        return run
+
+    c1, cn = chain(1), chain(1 + args.iters)
+    v1 = float(c1(scene, frame))
+    vn = float(cn(scene, frame))
+    assert np.isfinite(v1) and np.isfinite(vn), (v1, vn)
+    t1 = time.perf_counter()
+    float(c1(scene, frame))
+    t1 = time.perf_counter() - t1
+    tn = time.perf_counter()
+    float(cn(scene, frame))
+    tn = time.perf_counter() - tn
+    dt = max((tn - t1) / args.iters, 1e-9)
+    rays = W * H * config.bounces
+    mrays = rays / dt / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"fwd+bwd rays/s, {W}x{H}x{config.bounces}bounce "
+                f"{scene_label}, grads w.r.t. all scene leaves",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 1000.0, 4),

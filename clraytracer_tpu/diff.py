@@ -91,13 +91,23 @@ def render_image_diff(
     width: int,
     height: int,
     bounces: int = 2,
-    base_tracer: Tracer = trace_wavefront,
+    base_tracer: Tracer | None = None,
     reference_parity: bool = True,
     enable_post: bool = False,
 ) -> Array:
-    """Differentiable [H, W, 3] render (float color path)."""
+    """Differentiable [H, W, 3] render (float color path).
+
+    ``base_tracer`` finds the discrete hit structure (its traversal is
+    stop-gradiented); default is the Pallas tile tracer — the wavefront
+    tracer measured 0.22 Mrays/s fwd+bwd at 540p on TPU (per-round
+    gathers), ~50x slower than the same step on Pallas hits."""
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
     from clraytracer_tpu.render import trace_planar
 
+    if base_tracer is None:
+        base_tracer = (
+            trace_pallas if scene.clusters is not None else trace_wavefront
+        )
     tracer = make_differentiable_tracer(base_tracer)
     dirs = ray_directions_planar(
         frame.inverse_view, frame.inverse_projection, width, height
