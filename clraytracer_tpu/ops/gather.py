@@ -44,16 +44,21 @@ def take_rows(table: Array, idx: Array) -> Array:
 
 
 def take_rgb(pool: Array, idx: Array) -> Array:
-    """Row-gather an RGB pool ``[P, 3]`` at ``idx [...]`` → planar ``[3, ...]``.
+    """Row-gather an RGB pool ``[P, 3|4]`` at ``idx [...]`` → planar
+    ``[3, ...]``.
 
-    The pool is zero-padded to 4 f32 columns first: XLA's TPU row gather is
-    ~5.5x faster on 16-byte-aligned rows than on 12-byte ones (measured at
-    2M indices on v5e: [P,3] 21 ms, [P,4] 3.9 ms, [P,8] 3.8 ms). The pad is
-    materialized once per executable (CSE'd), its VJP is a slice, so
-    gradients w.r.t. the pool stay exact scatter-adds.
+    Scene pools are built [P, 4] (builder zero-pads the 4th column) so no
+    per-frame pad op runs — the in-graph ``jnp.pad`` a [P, 3] pool needs
+    measured 2 x 3.3 ms/frame at 1080p, and XLA folds the pad INTO the
+    gather (slice_sizes={1,3}) so it only ever cost time. Row alignment
+    itself measured neutral at 2M random indices on v5e (~41 ms either
+    way): the TPU gather is latency-bound, not width-bound; in-frame cost
+    is coherence-dependent (3.7 ms for primary-hit UVs vs 22.6 ms for
+    reflection UVs at 1080p). Differentiable (VJP = scatter-add).
     """
-    padded = jnp.pad(pool, ((0, 0), (0, 1)))
-    return take_rows(padded, idx)[:3]
+    if pool.shape[1] == 3:
+        pool = jnp.pad(pool, ((0, 0), (0, 1)))
+    return take_rows(pool, idx)[:3]
 
 
 def onehot_rows(table: Array, idx: Array) -> Array:

@@ -268,7 +268,9 @@ def main() -> None:
     from clraytracer_tpu.render import trace_planar
 
     def interleave(acc):
-        p = dirs0 + acc * 1e-20  # [3, H, W]
+        # dirs0 is ray-tiled [3, rows, 128] with padding: crop to H*W
+        # planar pixels before the [H, W, 3] interleave being measured
+        p = (dirs0 + acc * 1e-20).reshape(3, -1)[:, : H * W]
         img = planar.to_last(p, (H, W))
         return acc * 0.5 + jnp.sum(img) * 1e-6
 
