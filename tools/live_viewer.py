@@ -95,6 +95,10 @@ def main() -> None:
     ap.add_argument("--height", type=int, default=320)
     ap.add_argument("--port", type=int, default=8765)
     ap.add_argument("--tracer", default="wavefront")
+    ap.add_argument("--shadows", action="store_true",
+                    help="sun shadow rays (beyond the reference)")
+    ap.add_argument("--refraction", action="store_true",
+                    help="Snell refraction through transmissive materials")
     ap.add_argument("--camera-pos", type=float, nargs=3,
                     default=[0.13, 0.21, 10.0])
     args = ap.parse_args()
@@ -114,7 +118,9 @@ def main() -> None:
     from clraytracer_tpu.engine import Engine
     from clraytracer_tpu.render import to_srgb_u8
 
-    config = RenderConfig(width=args.width, height=args.height)
+    config = RenderConfig(width=args.width, height=args.height,
+                          enable_shadows=args.shadows,
+                          enable_refraction=args.refraction)
     engine = Engine(
         scene=build_scene(args.scene),
         config=config,
