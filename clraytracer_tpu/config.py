@@ -61,6 +61,11 @@ class RenderConfig:
     # Bit-faithful integer color modulate (non-differentiable); the float
     # path is used for gradient work.
     integer_colors: bool = True
+    # Frame-time watchdog in ms (the reference kills the app when a frame
+    # exceeds 80 ms after warmup, Renderer.cpp:370-371 "GPU Bottleneck!").
+    # None disables; set e.g. 80.0 for reference-parity behavior — the
+    # Engine raises FrameWatchdogError instead of exit(0).
+    frame_watchdog_ms: float | None = None
 
     @property
     def resolution(self) -> Tuple[int, int]:

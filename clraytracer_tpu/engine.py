@@ -26,6 +26,7 @@ display-side (SURVEY.md §7); drive this from a script, notebook, or viewer.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Callable
 
 import numpy as np
@@ -42,6 +43,11 @@ from clraytracer_tpu.render import (
 from clraytracer_tpu.scene.builder import SceneBuilder
 from clraytracer_tpu.scene.types import Scene
 from clraytracer_tpu.utils.timer import ScopeTimer, profiler_stats
+
+
+class FrameWatchdogError(RuntimeError):
+    """Raised when a steady-state frame exceeds
+    RenderConfig.frame_watchdog_ms (reference Renderer.cpp:370-371)."""
 
 
 class Engine:
@@ -109,12 +115,32 @@ class Engine:
             self._instances_dirty = False
 
     def render(self) -> np.ndarray:
-        """Render the current frame (Renderer::Render equivalent)."""
+        """Render the current frame (Renderer::Render equivalent).
+
+        With ``config.frame_watchdog_ms`` set, a steady-state frame (past
+        the first two, which include compiles) exceeding the budget raises
+        :class:`FrameWatchdogError` — the reference's 80 ms "GPU
+        Bottleneck!" watchdog (Renderer.cpp:370-371), raising instead of
+        ``exit(0)``."""
         assert self.scene is not None, "call start() first"
         frame = frame_inputs_from_camera(self.camera, self.sun_angle)
+        budget = self.config.frame_watchdog_ms
+        t0 = time.perf_counter()
         with ScopeTimer("engine.render", log=False):
             img = render_frame_jit(
                 self.scene, frame, self.config, tracer_name=self.tracer
+            )
+            if budget is not None:
+                # sync only when the watchdog is armed (keeps async
+                # dispatch otherwise). NOTE: over the tunneled-TPU backend
+                # block_until_ready can return early, so the watchdog is
+                # exact on CPU/local devices and approximate there.
+                img = jax.block_until_ready(img)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        if budget is not None and self.frame_index >= 2 and dt_ms > budget:
+            raise FrameWatchdogError(
+                f"frame {self.frame_index} took {dt_ms:.1f} ms "
+                f"(watchdog {budget:.1f} ms)"
             )
         self.frame_index += 1
         return img

@@ -72,3 +72,29 @@ def test_camera_update_changes_image():
     eng.update_camera(mouse_delta=(40.0, 10.0), move=(0.5, 0.0, 0.0))
     img1 = np.asarray(eng.render())
     assert np.abs(img1 - img0).max() > 0.01
+
+
+def test_frame_watchdog(sphere_scene):
+    """RenderConfig.frame_watchdog_ms: the reference's 80 ms fatal frame
+    watchdog (Renderer.cpp:370-371), raising instead of exit(0). Warmup
+    frames (compiles) are exempt; a steady-state frame over budget raises."""
+    import pytest
+
+    from clraytracer_tpu.config import RenderConfig
+    from clraytracer_tpu.engine import Engine, FrameWatchdogError
+
+    eng = Engine(
+        scene=sphere_scene,
+        config=RenderConfig(width=16, height=12, frame_watchdog_ms=1e9),
+        tracer="bvh",
+    )
+    eng.render(); eng.render(); eng.render()  # generous budget: no raise
+
+    eng2 = Engine(
+        scene=sphere_scene,
+        config=RenderConfig(width=16, height=12, frame_watchdog_ms=1e-6),
+        tracer="bvh",
+    )
+    eng2.render(); eng2.render()  # warmup frames exempt
+    with pytest.raises(FrameWatchdogError):
+        eng2.render()
