@@ -34,6 +34,11 @@ def main() -> None:
                     "default: the built-in textured-sphere config-2 scene")
     ap.add_argument("--camera-pos", type=float, nargs=3, default=None)
     ap.add_argument("--yaw", type=float, default=-90.0)
+    ap.add_argument("--atlas", action="store_true",
+                    help="bake the default scene's textures into the texel "
+                    "pool (imported-image path) instead of registering "
+                    "procedural descriptors — benches the two-phase "
+                    "trace+XLA-shade path with real per-ray pool gathers")
     ap.add_argument("--grads", action="store_true",
                     help="benchmark the DIFFERENTIABLE fwd+bwd step (image "
                     "L2 loss, gradients w.r.t. every scene leaf) instead of "
@@ -60,15 +65,21 @@ def main() -> None:
         scene_label = args.scene.rsplit("/", 1)[-1]
     else:
         b = SceneBuilder()
-        b.import_procedural(ptex.sky_gradient(512, 256))
-        checker = b.import_procedural(ptex.checker(128, 8))
+        if args.atlas:
+            from clraytracer_tpu.scene.textures import checkerboard, gradient_sky
+
+            b.import_texture(gradient_sky(512, 256))
+            checker = b.import_texture(checkerboard(128, 8))
+        else:
+            b.import_procedural(ptex.sky_gradient(512, 256))
+            checker = b.import_procedural(ptex.checker(128, 8))
         mat = b.create_material(
             albedo=(0.9, 0.6, 0.3), albedo_tex=checker, shininess=1.0, roughness=0.4
         )
         mesh = b.add_mesh(uv_sphere(2.0, n_lat=n_lat, n_lon=n_lon), materials_start=mat)
         b.add_instance(mesh)
         scene = jax.device_put(b.build())
-        scene_label = "sphere scene"
+        scene_label = "sphere scene" + (" (atlas tex)" if args.atlas else "")
 
     pos = tuple(args.camera_pos) if args.camera_pos else (0.13, 0.21, 10.0)
     cam = Camera.create(

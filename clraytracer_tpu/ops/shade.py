@@ -492,9 +492,12 @@ def shade_hits(
         )
     else:
         alb_idx = _pool_index(aw, ah, aoff, uu, vv)
-        texel = gather.take_rgb(
-            atlas.texels, jnp.where(hit, alb_idx, sky_idx)
-        )
+        # dead lanes fetch texel 0: the TPU row gather is latency/coherence-
+        # bound (ops/gather.py), so pinning lanes nobody consumes to one hot
+        # row makes terminated-ray bounces cheap instead of random-access
+        idx = jnp.where(hit, alb_idx, sky_idx)
+        idx = jnp.where(state.alive, idx, 0)
+        texel = gather.take_rgb(atlas.texels, idx)
         sky = texel  # valid on miss lanes only (masked below)
     result = planar.where(
         miss_now, state.result + sky * state.energy, state.result
@@ -565,9 +568,16 @@ def shade_hits(
     # specular highlight, and the specular energy carry) but not ambient.
     shadow = 1.0
     if shadow_tracer is not None:
+        import inspect
+
         to_sun = -state.light_dir
         sh_origin = planar.where(hit, new_origin, jnp.zeros_like(new_origin))
-        occ = shadow_tracer(scene, sh_origin, to_sun)
+        if "live" in inspect.signature(shadow_tracer).parameters:
+            # tracers with in-kernel dead-lane culling (trace_pallas) skip
+            # the shadow traversal's non-hit lanes entirely
+            occ = shadow_tracer(scene, sh_origin, to_sun, live=live)
+        else:
+            occ = shadow_tracer(scene, sh_origin, to_sun)
         shadow = jnp.where(hit & occ.hit, 0.0, 1.0)
     ndl_raw = planar.dot(normal, -state.light_dir)
     ambient = planar.scale(

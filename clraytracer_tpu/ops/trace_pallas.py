@@ -710,6 +710,7 @@ def _make_kernel(
     rows: int,
     variant: str = "full",
     stream: bool = False,
+    has_live: bool = False,
 ):
     """Builds the hit-record kernel body for a static per-instance range
     list (supercluster start/count, cluster start/count per instance).
@@ -720,31 +721,36 @@ def _make_kernel(
 
     ``stream`` swaps the seven VMEM geometry tables for one HBM-resident
     ``geo_stream`` array DMA'd per surviving cluster (see _emit_traversal's
-    ``stream`` arg) — scenes beyond the VMEM budget keep the Pallas path."""
+    ``stream`` arg) — scenes beyond the VMEM budget keep the Pallas path.
+
+    ``has_live`` adds a seventh per-tile ray input: a [ROWS, 128] f32 mask
+    (1.0 = live). Dead lanes cull like misses (``live`` in _emit_traversal),
+    so a bounce whose rays mostly terminated pays almost nothing."""
     ROWS = rows
+    n_ray_in = 7 if has_live else 6
 
     def kernel(*refs):
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         inv_ref, scab_ref, clab_ref) = refs[:9]
+        ray_refs = refs[:n_ray_in]
+        (inv_ref, scab_ref, clab_ref) = refs[n_ray_in : n_ray_in + 3]
+        refs = refs[n_ray_in + 3 :]
         if stream:
             (geo_ref, out_ref, sc_scratch, sk_scratch, cl_scratch,
-             bits_scratch, bx_scratch, buf_ref, sem_ref) = refs[9:]
+             bits_scratch, bx_scratch, buf_ref, sem_ref) = refs
             tables = (None,) * 7
             stream_refs = (geo_ref, buf_ref, sem_ref)
         else:
             (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref,
              out_ref, sc_scratch, sk_scratch, cl_scratch,
-             bits_scratch, bx_scratch) = refs[9:]
+             bits_scratch, bx_scratch) = refs
             tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
             stream_refs = None
-        rays = (
-            ox_ref[...], oy_ref[...], oz_ref[...],
-            dx_ref[...], dy_ref[...], dz_ref[...],
-        )
+        rays = tuple(r[...] for r in ray_refs[:6])
+        live = (ray_refs[6][...] != 0.0) if has_live else None
         _emit_traversal(
             rays, out_ref, ROWS, instance_ranges, variant,
             inv_ref, scab_ref, clab_ref, *tables,
             sc_scratch, sk_scratch, cl_scratch, bits_scratch, bx_scratch,
+            live=live,
             stream=stream_refs,
         )
 
@@ -756,6 +762,7 @@ def _make_kernel(
 )
 def _trace_tiles(
     rays6: tuple[Array, ...],  # 6 x [T, ROWS, 128]: ox oy oz dx dy dz
+    #   (+ an optional 7th: f32 live mask, 1.0 = lane still alive)
     inv: Array,  # [I, 16]
     scab: Array,  # [S, 8]
     clab: Array,  # [C, 8]
@@ -767,8 +774,11 @@ def _trace_tiles(
     stream: bool = False,
 ):
     n_tiles = rays6[0].shape[0]
+    n_ray_in = len(rays6)
     ROWS = rows
-    kernel = _make_kernel(instance_ranges, rows, variant, stream)
+    kernel = _make_kernel(
+        instance_ranges, rows, variant, stream, has_live=n_ray_in == 7
+    )
     # tests and the golden path run on CPU: interpret the kernel there
     # (the streamed variant uses DMA semantics → TPU-interpret mode)
     on_tpu = jax.default_backend() == "tpu"
@@ -812,7 +822,7 @@ def _trace_tiles(
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, 11 * ROWS, 128), jnp.float32
         ),
-        in_specs=[tile_spec] * 6 + [full] * 3 + geo_specs,
+        in_specs=[tile_spec] * n_ray_in + [full] * 3 + geo_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
         interpret=interpret,
@@ -843,10 +853,22 @@ def _table_bytes(clusters) -> int:
 
 
 def trace_pallas(
-    scene: Scene, origin: Array, direction: Array, variant: str = "full"
+    scene: Scene, origin: Array, direction: Array, variant: str = "full",
+    rows: int | None = None, live: Array | None = None,
 ) -> SceneHit:
     """Drop-in Tracer backed by the Pallas tile kernel.
-    ``origin``/``direction``: planar [3, ...] — tiling is a pure reshape."""
+    ``origin``/``direction``: planar [3, ...] — tiling is a pure reshape.
+
+    ``rows`` overrides the kernel tile height (must divide the caller's ray
+    count's row padding): smaller tiles cull tighter on cluster-dense scenes
+    (each tile covers a smaller screen rect → fewer surviving clusters per
+    ray) at the cost of scalar-work amortization.
+
+    ``live``: optional [...]-shaped bool — lanes whose rays already
+    terminated are culled inside the kernel like misses (they fail every
+    slab/accept test, so clusters only dead lanes wanted are never fetched)
+    and report ``hit=False``. The bounce loop passes the previous bounce's
+    alive mask here."""
     clusters = scene.clusters
     assert clusters is not None, "scene built without cluster tables"
     stream = _table_bytes(clusters) > VMEM_TABLE_BUDGET
@@ -859,7 +881,7 @@ def trace_pallas(
         return trace_wavefront(scene, origin, direction)
     shape = origin.shape[1:]
     n = int(np.prod(shape)) if shape else 1
-    ROWS = _tile_rows(n)
+    ROWS = rows if rows is not None else _tile_rows(n)
     tile = ROWS * 128
     n_tiles = -(-n // tile)
     pad = n_tiles * tile - n
@@ -877,6 +899,11 @@ def trace_pallas(
     rays6 = tuple(
         [tile_layout(origin[c], 0.0) for c in range(3)]
         + [tile_layout(direction[c], 1.0) for c in range(3)]
+        + (
+            [tile_layout(live.astype(jnp.float32), 0.0)]
+            if live is not None
+            else []
+        )
     )
 
     mesh_idx, _, _, _ = _instance_tables(scene)
@@ -909,7 +936,8 @@ def trace_pallas(
     t = untile(t)
     tri_slot = untile(tri_slot)
     inst = untile(inst)
-    hit = t < _BIG
+    # dead lanes carry t = -BIG (see ``live``): report them as misses
+    hit = (t < _BIG) if live is None else (jnp.abs(t) < _BIG)
 
     tri = jnp.take(clusters.tri_gid, tri_slot, mode="clip")
 

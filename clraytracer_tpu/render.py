@@ -157,12 +157,26 @@ def bounce_loop(
                                 enable_shadows=enable_shadows)
 
     state = initial_bounce_state(origin, direction, sun_angle)
-    for b in range(bounces):
-        hit = tracer(scene, state.origin, state.direction)
+
+    def one_bounce(state: BounceState, b: int | None) -> BounceState:
+        # bounces > 0 pass the alive mask into the Pallas kernel: lanes
+        # whose rays terminated fail every slab/accept test there, so a
+        # mostly-sky bounce costs only its surviving rays' geometry
+        # (``b is None`` = scan body: bounce 0's all-True mask is passed
+        # too, keeping one traced kernel for every bounce)
+        if tracer is trace_pallas and (b is None or b > 0):
+            hit = tracer(scene, state.origin, state.direction,
+                         live=state.alive)
+        else:
+            hit = tracer(scene, state.origin, state.direction)
         attrs = None
         if hit.attr_normal is not None:
             attrs = (hit.attr_normal, hit.attr_uu, hit.attr_vv, hit.attr_mat)
-        state = shade_hits(
+        shadow_tracer = tracer if (enable_shadows and b == 0) else None
+        if shadow_tracer is trace_pallas:
+            # shadow rays cull their non-hit lanes in-kernel too
+            shadow_tracer = trace_pallas_live_kw
+        return shade_hits(
             scene,
             state,
             t=hit.t,
@@ -174,11 +188,36 @@ def bounce_loop(
             reference_parity=reference_parity,
             integer_colors=integer_colors,
             attrs=attrs,
-            shadow_tracer=tracer if (enable_shadows and b == 0) else None,
+            shadow_tracer=shadow_tracer,
             enable_refraction=enable_refraction,
             refraction_ior=refraction_ior,
         )
+
+    import os
+
+    scan_ok = os.environ.get("CLRT_SCAN_BOUNCES", "0") == "1"
+    if scan_ok and bounces > 1 and not enable_shadows:
+        # compile-size escape hatch (OPT-IN): one traced bounce body emits
+        # the traversal kernel ONCE into the program instead of once per
+        # bounce — halves program size (very large streamed-scene programs
+        # can exceed a remote-compile service's request limit) and compile
+        # time, at a measured runtime cost (museum 60.4 -> 28.9 Mrays/s:
+        # the scan carry round-trips ~150 MB of bounce state through HBM
+        # per iteration and defeats cross-bounce fusion)
+        state = jax.lax.scan(
+            lambda s, _: (one_bounce(s, None), None), state, None,
+            length=bounces,
+        )[0]
+    else:
+        for b in range(bounces):
+            state = one_bounce(state, b)
     return state.result
+
+
+def trace_pallas_live_kw(scene, origin, direction, live=None):
+    """trace_pallas with the shadow-path keyword contract (ops/shade.py
+    passes ``live`` when the shadow tracer accepts it)."""
+    return trace_pallas(scene, origin, direction, live=live)
 
 
 def trace_image(

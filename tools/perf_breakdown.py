@@ -517,7 +517,23 @@ def main() -> None:
         )
         return acc * 0.5 + jnp.sum(img) * 1e-6
 
+    def trace_rows(rows):
+        """trace_pallas with an explicit kernel tile height (culling
+        locality vs scalar-amortization sweep on cluster-dense scenes)."""
+        def fn(acc):
+            hit = trace_pallas(
+                scene, origin0 + acc * 1e-20, dirs0, rows=rows
+            )
+            leaves = [hit.t, hit.u, hit.v, hit.attr_uu]
+            return acc * 0.5 + sum(jnp.sum(l) for l in leaves) * 1e-6
+
+        return fn
+
     components = {
+        "trace_r8": trace_rows(8),
+        "trace_r16": trace_rows(16),
+        "trace_r32": trace_rows(32),
+        "trace_r64": trace_rows(64),
         "raygen": raygen,
         "tshade_bar": tshade_bar,
         "gather_coh": gather_coh,
