@@ -384,16 +384,24 @@ class SceneBuilder:
         # cluster tables for the Pallas tile tracer (built from the
         # BVH-reordered, spatially coherent triangle order); shading attrs
         # packed alongside so the kernel interpolates them in-VMEM
-        from clraytracer_tpu.ops.clusters import subtree_cluster_ranges
+        from clraytracer_tpu.ops.clusters import (
+            merge_cluster_ranges,
+            subtree_cluster_ranges,
+        )
 
         ct = build_clusters(
             hv0, hv1, hv2, bvh.mesh_tri_start, bvh.mesh_tri_count,
             attrs=h_tri_attr,
             # BVH-subtree-aligned clusters: ~2.2-2.4x tighter AABBs than
-            # fixed 32-triangle runs (see subtree_cluster_ranges)
+            # fixed 32-triangle runs (see subtree_cluster_ranges), then
+            # adjacent partials greedily packed where the union AABB costs
+            # no more than the parts (merge_cluster_ranges)
             cluster_ranges=[
-                subtree_cluster_ranges(
-                    build.left_first, build.tri_count, int(root)
+                merge_cluster_ranges(
+                    subtree_cluster_ranges(
+                        build.left_first, build.tri_count, int(root)
+                    ),
+                    hv0, hv1, hv2,
                 )
                 for root in build.roots
             ],
