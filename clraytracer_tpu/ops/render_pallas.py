@@ -92,6 +92,7 @@ def _make_render_kernel(
     cam: tuple[int, int, int, int] | None = None,
     stream: bool = False,
     shadows: bool = False,
+    atlas_defer: bool = False,
 ):
     """``cam = (trows, tiles_x, width, height)`` selects in-kernel raygen:
     instead of six [ROWS, 128] ray inputs streamed from HBM, the kernel
@@ -108,7 +109,21 @@ def _make_render_kernel(
 
     ``stream`` swaps the VMEM cluster tables for the HBM ``geo_stream``
     array DMA'd per surviving cluster (ops/trace_pallas._emit_traversal) —
-    the fused frame stays available past the VMEM table budget."""
+    the fused frame stays available past the VMEM table budget.
+
+    ``atlas_defer`` keeps the fused frame available for scenes with
+    IMPORTED (non-procedural) textures: in reference-parity shading the
+    per-bounce radiance contribution is **linear in the albedo texel**
+    (``contrib = coef * color(texel) + spec_light``) and the throughput/
+    next-ray state never reads it — so the kernel runs the whole bounce
+    loop texel-blind, emitting per bounce the flat texel-pool index (i32,
+    computed in-kernel from the winning material's texture record exactly
+    like shade._pool_index), the material color bytes, and the coefficient
+    ``energy*dif + atm*ambient``; ``render_fused*`` then fetches each
+    bounce's texels with ONE XLA row gather and adds ``coef * modulate(
+    mat_b, texel)``. This replaces the two-phase path's per-bounce shading
+    fusion soup (~dozens of HBM-bound elementwise passes) with the same
+    single gather it already paid, and keeps the traversal fused."""
     from clraytracer_tpu.scene.procedural_tex import _eval
 
     ROWS = rows
@@ -192,6 +207,7 @@ def _make_render_kernel(
         energy = [one, one, one]
         men = [zero, zero, zero]  # throughput at first miss
         mdir = [zero, zero, zero]  # direction at first miss
+        defer_out = []  # atlas_defer: per-bounce (idx_f32, mat_b[3], coef[3])
         alive = jnp.ones((ROWS, 128), jnp.bool_)
         # per-bounce atmospheric constants: the f32 chain 0.255 * 0.4^b,
         # replicated in numpy f32 so each bounce's value matches shade_hits'
@@ -301,34 +317,53 @@ def _make_render_kernel(
             alb = [zero, zero, zero]
             ahi = zero
             alo = zero
+            aw = zero
+            ah = zero
             for mi in range(n_materials):
                 selm = mat_idf == float(mi)
                 for c in range(3):
                     alb[c] = jnp.where(selm, mat_ref[mi, c], alb[c])
                 ahi = jnp.where(selm, mat_ref[mi, 10], ahi)
                 alo = jnp.where(selm, mat_ref[mi, 11], alo)
+                if atlas_defer:
+                    aw = jnp.where(selm, mat_ref[mi, 8], aw)
+                    ah = jnp.where(selm, mat_ref[mi, 9], ah)
 
-            # ---- procedural texel (static per-descriptor select; selection
-            # by hi/lo-split pool offset, exactly shade._eval_tex_inline) ---
-            texel = [zero, zero, zero]  # byte values [0, 255]
-            for off_hi, off_lo, desc in tex_descs:
+            if atlas_defer:
+                # flat pool index of the albedo texel, the exact op sequence
+                # of shade._pool_index — in i32 (pool offsets exceed f32's
+                # 2^24 integer range on ~100 MB pools)
                 uw = uu - jnp.floor(uu)
-                ui = jnp.floor(uw * float(desc.width))
                 vw = vv - jnp.floor(vv)
-                vi = jnp.floor(vw * float(desc.height))
-                rgb = _eval(desc, _XP_TUPLE, ui, vi)
-                selt = (ahi == float(off_hi)) & (alo == float(off_lo))
-                for c in range(3):
-                    texel[c] = jnp.where(selt, rgb[c], texel[c])
+                ui = (uw * aw).astype(jnp.int32)
+                vi = (vw * ah).astype(jnp.int32)
+                off_i = ahi.astype(jnp.int32) * jnp.int32(
+                    1 << 12  # shade._OFF_SHIFT
+                ) + alo.astype(jnp.int32)
+                tex_idx = vi * aw.astype(jnp.int32) + ui + off_i
+                color = None
+            else:
+                # ---- procedural texel (static per-descriptor select;
+                # selection by hi/lo offset, exactly shade._eval_tex_inline)
+                texel = [zero, zero, zero]  # byte values [0, 255]
+                for off_hi, off_lo, desc in tex_descs:
+                    uw = uu - jnp.floor(uu)
+                    ui = jnp.floor(uw * float(desc.width))
+                    vw = vv - jnp.floor(vv)
+                    vi = jnp.floor(vw * float(desc.height))
+                    rgb = _eval(desc, _XP_TUPLE, ui, vi)
+                    selt = (ahi == float(off_hi)) & (alo == float(off_lo))
+                    for c in range(3):
+                        texel[c] = jnp.where(selt, rgb[c], texel[c])
 
-            # ---- integer color modulate (shade._modulate_bytes; texel is
-            # already exact bytes, so round(texel*255*(1/255)) == texel) ----
-            color = []
-            for c in range(3):
-                mat_b = jnp.round(jnp.clip(alb[c], 0.0, 1.0) * 255.0)
-                color.append(
-                    jnp.floor(mat_b * texel[c] * (1.0 / 256.0)) * _U8
-                )
+                # ---- integer color modulate (shade._modulate_bytes; texel
+                # is exact bytes, so round(texel*255*(1/255)) == texel) -----
+                color = []
+                for c in range(3):
+                    mat_b = jnp.round(jnp.clip(alb[c], 0.0, 1.0) * 255.0)
+                    color.append(
+                        jnp.floor(mat_b * texel[c] * (1.0 / 256.0)) * _U8
+                    )
 
             # ---- in-kernel sun shadows (bounce 0 only, ops/shade.py's
             # shadow_tracer semantics): one more traversal from the
@@ -391,11 +426,47 @@ def _make_render_kernel(
             # origin); direction = reflect(d, n)
             ndd = n[0] * d[0] + n[1] * d[1] + n[2] * d[2]
             dif = ndl if shadow is None else ndl * shadow
+            if atlas_defer:
+                # texel-independent shading: accumulate spec_light now, emit
+                # (pool index, material bytes, contribution coefficient) for
+                # the XLA post-gather. Lanes that miss AT THIS BOUNCE emit
+                # the -1 sentinel: _finish_frame substitutes their skybox
+                # index so the sky texel rides the SAME per-bounce gather
+                # (a separate sky gather measured ~28 ms/frame at 1080p).
+                # Dead lanes pin idx to 0 (the row gather is coherence-
+                # bound); their coefficient is zero either way.
+                defer_out.append(
+                    (
+                        jax.lax.bitcast_convert_type(
+                            jnp.where(
+                                live,
+                                tex_idx,
+                                jnp.where(miss_now, -1, 0),
+                            ),
+                            jnp.float32,
+                        ),
+                        [
+                            jnp.round(jnp.clip(alb[c], 0.0, 1.0) * 255.0)
+                            for c in range(3)
+                        ],
+                        [
+                            jnp.where(
+                                live,
+                                energy[c] * dif + float(atm[c]) * amb_m,
+                                0.0,
+                            )
+                            for c in range(3)
+                        ],
+                    )
+                )
             for c in range(3):
-                contrib = (
-                    (energy[c] * color[c]) * dif
-                    + (float(atm[c]) * color[c]) * amb_m
-                ) + spec_light
+                if atlas_defer:
+                    contrib = spec_light
+                else:
+                    contrib = (
+                        (energy[c] * color[c]) * dif
+                        + (float(atm[c]) * color[c]) * amb_m
+                    ) + spec_light
                 result[c] = jnp.where(live, result[c] + contrib, result[c])
                 energy[c] = jnp.where(
                     live, energy[c] * (0.2 * spec_s), energy[c]
@@ -412,6 +483,17 @@ def _make_render_kernel(
             out_ref[c * ROWS : (c + 1) * ROWS, :] = result[c]
             out_ref[(3 + c) * ROWS : (4 + c) * ROWS, :] = men[c]
             out_ref[(6 + c) * ROWS : (7 + c) * ROWS, :] = mdir[c]
+        # atlas_defer blocks: per bounce, idx | mat_b rgb | coef rgb
+        for b, (idxf, mat_b, coef) in enumerate(defer_out):
+            base = 9 + 7 * b
+            out_ref[base * ROWS : (base + 1) * ROWS, :] = idxf
+            for c in range(3):
+                out_ref[
+                    (base + 1 + c) * ROWS : (base + 2 + c) * ROWS, :
+                ] = mat_b[c]
+                out_ref[
+                    (base + 4 + c) * ROWS : (base + 5 + c) * ROWS, :
+                ] = coef[c]
 
     return kernel
 
@@ -420,7 +502,7 @@ def _make_render_kernel(
     jax.jit,
     static_argnames=(
         "instance_ranges", "rows", "tex_descs", "bounces", "cam", "n_tiles",
-        "stream", "shadows",
+        "stream", "shadows", "atlas_defer",
     ),
 )
 def _render_tiles(
@@ -440,25 +522,27 @@ def _render_tiles(
     n_tiles: int | None = None,
     stream: bool = False,
     shadows: bool = False,
+    atlas_defer: bool = False,
 ):
     if cam is None:
         n_tiles = rays6[0].shape[0]
     ROWS = rows
     kernel = _make_render_kernel(
         instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam,
-        stream, shadows,
+        stream, shadows, atlas_defer,
     )
     on_tpu = jax.default_backend() == "tpu"
     interpret = (
         False if on_tpu
         else (pltpu.InterpretParams() if stream else True)
     )
+    n_out = 9 + (7 * bounces if atlas_defer else 0)
     tile_spec = pl.BlockSpec(
         (None, ROWS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((None, 9 * ROWS, 128), lambda i: (i, 0, 0))
+    out_spec = pl.BlockSpec((None, n_out * ROWS, 128), lambda i: (i, 0, 0))
     ray_in = (rays6, [tile_spec] * 6) if cam is None else ((cam_vec,), [smem])
     geo_specs = (
         [pl.BlockSpec(memory_space=pl.ANY)] if stream else [full] * 7
@@ -484,7 +568,9 @@ def _render_tiles(
     big = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 9 * ROWS, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_tiles, n_out * ROWS, 128), jnp.float32
+        ),
         in_specs=ray_in[1] + [full, full, smem, full, full] + geo_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
@@ -493,14 +579,18 @@ def _render_tiles(
         *ray_in[0], inst_rows, mat_rows, sun, scab, clab, *geo,
     )
     fld3 = lambda k: big[:, k * ROWS : (k + 3) * ROWS, :]
-    return fld3(0), fld3(3), fld3(6)  # result, miss_energy, miss_dir blocks
+    # result, miss_energy, miss_dir blocks (+ the raw deferred-texel blocks)
+    extra = big[:, 9 * ROWS :, :] if atlas_defer else None
+    return fld3(0), fld3(3), fld3(6), extra
 
 
 def fused_path_available(scene: Scene, reference_parity: bool,
                          integer_colors: bool) -> bool:
-    """Static eligibility of the fused megakernel for this scene/config."""
-    from clraytracer_tpu.ops.shade import _all_procedural
+    """Static eligibility of the fused megakernel for this scene/config.
 
+    Scenes where every texture is procedural shade fully in-kernel; all
+    others use the kernel's deferred-texel mode (``atlas_defer``) — either
+    way the fused path applies."""
     return (
         reference_parity
         and integer_colors
@@ -511,8 +601,90 @@ def fused_path_available(scene: Scene, reference_parity: bool,
             or scene.clusters.geo_stream is not None  # HBM-streamed tables
         )
         and scene.materials.count <= MAX_FUSED_MATERIALS
-        and _all_procedural(scene)
     )
+
+
+def _finish_frame(
+    scene: Scene,
+    res: Array,  # [3, rows, 128] in-kernel radiance (spec_light only when
+    #   atlas_defer; full hit shading otherwise)
+    men: Array,  # [3, rows, 128] throughput at first miss
+    mdir: Array,  # [3, rows, 128] direction at first miss
+    extra: Array | None,  # [T, 7*B*ROWS, 128] deferred-texel blocks
+    n_tiles: int,
+    rows: int,
+    bounces: int,
+) -> Array:
+    """Shared XLA tail of the fused frame: deferred texel fetch (+ modulate
+    + coefficient multiply) per bounce when ``extra`` is present, then the
+    deferred skybox add. All texel values come from the same pool rows the
+    two-phase path gathers, so results agree to float precision."""
+    from clraytracer_tpu.ops.gather import take_rgb
+    from clraytracer_tpu.ops.shade import (
+        _eval_skybox_inline,
+        _skybox_index,
+    )
+
+    pk = scene.packed
+    sky_idx = _skybox_index(pk.skybox_w, pk.skybox_h, pk.skybox_off, mdir)
+    if extra is not None:
+        rows_total = res.shape[1]
+        ex = (
+            extra.reshape(n_tiles, 7 * bounces, rows, 128)
+            .transpose(1, 0, 2, 3)
+            .reshape(7 * bounces, rows_total, 128)
+        )
+        # ONE pool row gather for the whole frame: hit lanes fetch their
+        # albedo texel; lanes that missed at this bounce (idx == -1
+        # sentinel) fetch their skybox texel through the same gather — a
+        # lane misses at most once, so summing the miss-masked texels
+        # reconstructs the sky color each ray saw (identical pool rows to
+        # the two-phase path; procedural textures are baked into the pool
+        # too). All bounces share a single combined gather: XLA stages the
+        # pool into scoped VMEM for one gather when it fits, and a second
+        # separate gather fell off that path and read HBM at ~17 ns/row
+        # (measured 35.7 vs 3.75 ms for the SAME shapes at 1080p).
+        raws = [
+            jax.lax.bitcast_convert_type(ex[7 * b], jnp.int32)
+            for b in range(bounces)
+        ]
+        misses = [raw < 0 for raw in raws]
+        idx_all = jnp.stack(
+            [
+                jnp.where(miss_b, sky_idx, raw)
+                for raw, miss_b in zip(raws, misses)
+            ]
+        )  # [B, rows, 128]
+        if pk.texels_u32 is not None:
+            # large pool: flat packed-RGB8 gather (~7 ns/idx vs ~25 for the
+            # un-staged [P, 4] row gather — measured 107 → 30 ms on the
+            # museum frame at 1080p) + byte unpack. texel = byte * (1/255)
+            # is the pool's own construction formula, so values are
+            # bit-identical to the row-gather path.
+            word = jnp.take(pk.texels_u32, idx_all, mode="clip")
+            tex_all = jnp.stack(
+                [
+                    (word & 0xFF).astype(jnp.float32) * _U8,
+                    ((word >> 8) & 0xFF).astype(jnp.float32) * _U8,
+                    ((word >> 16) & 0xFF).astype(jnp.float32) * _U8,
+                ]
+            )  # [3, B, rows, 128]
+        else:
+            tex_all = take_rgb(scene.atlas.texels, idx_all)
+        sky = jnp.zeros_like(res)
+        for b in range(bounces):
+            miss_b = misses[b]
+            mat_b = ex[7 * b + 1 : 7 * b + 4]
+            coef = ex[7 * b + 4 : 7 * b + 7]
+            texel = tex_all[:, b]  # [3, rows, 128]
+            # shade._modulate_bytes, bit-exactly (mat_b computed in-kernel)
+            tex_b = jnp.round(texel * 255.0)
+            color = jnp.floor(mat_b * tex_b * (1.0 / 256.0)) * _U8
+            res = res + coef * color
+            sky = jnp.where(miss_b[None], sky + texel, sky)
+    else:
+        sky = _eval_skybox_inline(scene, sky_idx, pk.skybox_w, pk.skybox_off)
+    return res + sky * men
 
 
 def _geo_inputs(clusters) -> tuple[bool, tuple]:
@@ -544,11 +716,7 @@ def render_fused(
     64-row screen tile processed as two 32-row kernel tiles still covers
     two stacked 32x128-PIXEL rectangles, so culling locality is preserved).
     """
-    from clraytracer_tpu.ops.shade import (
-        _OFF_SHIFT,
-        _eval_skybox_inline,
-        _skybox_index,
-    )
+    from clraytracer_tpu.ops.shade import _OFF_SHIFT, _all_procedural
 
     rows_total = origin.shape[1]
     n = rows_total * 128
@@ -561,7 +729,8 @@ def render_fused(
     clusters = scene.clusters
     mesh_idx, _, _, _ = _instance_tables(scene)
     ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
-    tex_descs = tuple(
+    atlas_defer = not _all_procedural(scene)
+    tex_descs = () if atlas_defer else tuple(
         (off >> _OFF_SHIFT, off & ((1 << _OFF_SHIFT) - 1), desc)
         for _h, off, desc in scene.procedural_tex
     )
@@ -574,7 +743,7 @@ def render_fused(
     ).astype(jnp.float32).reshape(1, 2)
 
     stream, geo = _geo_inputs(clusters)
-    res, men, mdir = _render_tiles(
+    res, men, mdir, extra = _render_tiles(
         rays6,
         None,
         scene.packed.inst_rows,
@@ -589,6 +758,7 @@ def render_fused(
         bounces,
         stream=stream,
         shadows=enable_shadows,
+        atlas_defer=atlas_defer,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
@@ -600,12 +770,12 @@ def render_fused(
 
     res, men, mdir = untile3(res), untile3(men), untile3(mdir)
 
-    # deferred skybox: XLA-side arctan2/arccos keep bit-parity with the
-    # two-phase/golden paths; misses terminate rays, so one add suffices
-    pk = scene.packed
-    sky_idx = _skybox_index(pk.skybox_w, pk.skybox_h, pk.skybox_off, mdir)
-    sky = _eval_skybox_inline(scene, sky_idx, pk.skybox_w, pk.skybox_off)
-    return res + sky * men
+    # deferred texels (atlas mode) + deferred skybox: XLA-side gathers /
+    # arctan2/arccos keep bit-parity with the two-phase/golden paths;
+    # misses terminate rays, so one add suffices
+    return _finish_frame(
+        scene, res, men, mdir, extra, n_tiles, ROWS, bounces
+    )
 
 
 def render_fused_camera(
@@ -627,11 +797,7 @@ def render_fused_camera(
     render_fused for the flagship path; callers must check
     :func:`fused_path_available` first.
     """
-    from clraytracer_tpu.ops.shade import (
-        _OFF_SHIFT,
-        _eval_skybox_inline,
-        _skybox_index,
-    )
+    from clraytracer_tpu.ops.shade import _OFF_SHIFT, _all_procedural
 
     trows = _tile_rows(width * height)
     tiles_x = -(-width // 128)
@@ -648,7 +814,8 @@ def render_fused_camera(
     clusters = scene.clusters
     mesh_idx, _, _, _ = _instance_tables(scene)
     ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
-    tex_descs = tuple(
+    atlas_defer = not _all_procedural(scene)
+    tex_descs = () if atlas_defer else tuple(
         (off >> _OFF_SHIFT, off & ((1 << _OFF_SHIFT) - 1), desc)
         for _h, off, desc in scene.procedural_tex
     )
@@ -665,7 +832,7 @@ def render_fused_camera(
     ).astype(jnp.float32).reshape(1, 2)
 
     stream, geo = _geo_inputs(clusters)
-    res, men, mdir = _render_tiles(
+    res, men, mdir, extra = _render_tiles(
         (),
         cam_vec,
         scene.packed.inst_rows,
@@ -682,6 +849,7 @@ def render_fused_camera(
         n_tiles=n_tiles,
         stream=stream,
         shadows=enable_shadows,
+        atlas_defer=atlas_defer,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
@@ -692,7 +860,7 @@ def render_fused_camera(
         )
 
     res, men, mdir = untile3(res), untile3(men), untile3(mdir)
-    pk = scene.packed
-    sky_idx = _skybox_index(pk.skybox_w, pk.skybox_h, pk.skybox_off, mdir)
-    sky = _eval_skybox_inline(scene, sky_idx, pk.skybox_w, pk.skybox_off)
-    return res + sky * men, (trows, tiles_x, tiles_y)
+    img = _finish_frame(
+        scene, res, men, mdir, extra, n_tiles, ROWS, bounces
+    )
+    return img, (trows, tiles_x, tiles_y)

@@ -47,6 +47,12 @@ DEFAULT_MATERIAL = 0xFFFF
 NONE_MATERIAL = 0
 
 WHITE_TEXTURE = 0
+
+#: Pools larger than this many texels get a packed-RGB8 i32 copy for the
+#: flat texel gather (PackedTables.texels_u32): measured crossover on v5e —
+#: [P, 4] f32 row gathers win below (XLA stages the pool in scoped VMEM),
+#: flat 1-D gathers win above (~7 ns/idx vs ~11-25 un-staged).
+FLAT_TEXEL_MIN = 4_000_000
 BLACK_TEXTURE = 1
 
 
@@ -380,6 +386,17 @@ class SceneBuilder:
         packed = self._packed_tables(
             h_tri_attr, albedo, specular, width, height, offset, skybox
         )
+        if texels_u8.shape[0] > FLAT_TEXEL_MIN:
+            # large pools: packed RGB8 words for the flat texel gather
+            # (PackedTables.texels_u32; reference word layout 0x00BBGGRR)
+            w32 = (
+                texels_u8[:, 0].astype(np.uint32)
+                | (texels_u8[:, 1].astype(np.uint32) << 8)
+                | (texels_u8[:, 2].astype(np.uint32) << 16)
+            )
+            packed = dataclasses.replace(
+                packed, texels_u32=jnp.asarray(w32.astype(np.int32))
+            )
 
         # cluster tables for the Pallas tile tracer (built from the
         # BVH-reordered, spatially coherent triangle order); shading attrs

@@ -125,10 +125,12 @@ def _rebuild(prefix: str, arrays: dict, statics: dict) -> Any:
     if "__static__" in node:
         return _dec_static(node["__static__"])
     cls = _CLASSES[node["__class__"]]
-    kwargs = {
-        f.name: _rebuild(f"{prefix}.{f.name}", arrays, statics)
-        for f in dataclasses.fields(cls)
-    }
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        key = f"{prefix}.{f.name}"
+        if key not in arrays and key not in statics:
+            continue  # field newer than this checkpoint: dataclass default
+        kwargs[f.name] = _rebuild(key, arrays, statics)
     return cls(**kwargs)
 
 

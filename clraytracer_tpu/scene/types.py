@@ -204,6 +204,13 @@ class PackedTables:
     skybox_w: int = static_field(default=1)
     skybox_h: int = static_field(default=1)
     skybox_off: int = static_field(default=0)
+    #: [P] i32 texel pool packed 0x00BBGGRR (the reference's RGB8 word,
+    #: MathAndSTL.cl:238-251) — built only for pools too large for XLA to
+    #: stage in scoped VMEM: a flat 1-D gather runs ~7 ns/idx on v5e
+    #: regardless of coherence, vs ~11-25 ns/idx for un-staged [P, 4] f32
+    #: row gathers (ops/render_pallas._finish_frame). Byte-exact: texel
+    #: f32 values reconstruct as byte * f32(1/255), the pool's own formula.
+    texels_u32: Array | None = None
 
 
 @pytree_dataclass

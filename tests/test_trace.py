@@ -276,6 +276,66 @@ def test_fused_render_matches_two_phase(procedural_scene, monkeypatch):
     np.testing.assert_allclose(img_f, img_2, atol=1e-5)
 
 
+def test_fused_atlas_render_matches_two_phase(two_instance_scene, monkeypatch):
+    """Scenes with IMPORTED (non-procedural) textures now run the fused
+    megakernel too, in deferred-texel mode: the kernel computes pool
+    indices + contribution coefficients (radiance is linear in the texel
+    under reference-parity shading) and XLA performs one combined texel
+    gather. Must match the two-phase pallas frame to float precision."""
+    from clraytracer_tpu.ops import render_pallas as rp
+    from clraytracer_tpu.ops.shade import _all_procedural
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
+
+    assert not _all_procedural(two_instance_scene)
+    assert rp.fused_path_available(two_instance_scene, True, True)
+    cam = Camera.create(CameraConfig(position=(0.0, 1.0, 8.0)), 64, 48)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
+    img_f = np.asarray(
+        trace_image(two_instance_scene, frame, 64, 48, tracer=trace_pallas)
+    )
+    monkeypatch.setattr(rp, "fused_path_available", lambda *a: False)
+    img_2 = np.asarray(
+        trace_image(two_instance_scene, frame, 64, 48, tracer=trace_pallas)
+    )
+    np.testing.assert_allclose(img_f, img_2, atol=1e-5)
+
+
+def test_flat_texel_gather_matches_row_gather(monkeypatch):
+    """Large texel pools gather through the packed-RGB8 i32 word array
+    (PackedTables.texels_u32, ~3.5x faster on v5e); values must be
+    bit-identical to the [P, 4] f32 row gather."""
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
+    from clraytracer_tpu.scene import SceneBuilder, builder as builder_mod
+    from clraytracer_tpu.scene.procedural import uv_sphere
+    from clraytracer_tpu.scene.textures import checkerboard, gradient_sky
+
+    def build():
+        b = SceneBuilder()
+        b.import_texture(gradient_sky(128, 64))
+        checker = b.import_texture(checkerboard(32, 4))
+        mat = b.create_material(albedo=(0.9, 0.6, 0.3), albedo_tex=checker)
+        b.add_instance(
+            b.add_mesh(uv_sphere(2.0, n_lat=8, n_lon=12), materials_start=mat)
+        )
+        return b.build()
+
+    scene_row = build()
+    assert scene_row.packed.texels_u32 is None
+    monkeypatch.setattr(builder_mod, "FLAT_TEXEL_MIN", 0)
+    scene_flat = build()
+    assert scene_flat.packed.texels_u32 is not None
+
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), 64, 48)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
+    img_r = np.asarray(
+        trace_image(scene_row, frame, 64, 48, tracer=trace_pallas)
+    )
+    img_f = np.asarray(
+        trace_image(scene_flat, frame, 64, 48, tracer=trace_pallas)
+    )
+    np.testing.assert_array_equal(img_r, img_f)
+
+
 def test_fused_render_matches_brute(procedural_scene):
     """Fused frame vs the golden brute-force tracer + gather shading."""
     from clraytracer_tpu.ops.trace_pallas import trace_pallas
