@@ -70,6 +70,12 @@ MAX_FUSED_MATERIALS = 64
 #: spill outweighs the halved scalar-work amortization.
 FUSED_ROWS = 32
 
+#: tile height for HBM-STREAMED scenes: the DMA pipeline + per-cluster
+#: scalar work amortize over more rays per tile (museum 1080p measured:
+#: r8 229 / r16 139 / r32 102 / r64 94 ms) — the opposite tradeoff from
+#: VMEM-resident scenes, where 32 beats 64 (less vreg spill in shading).
+FUSED_ROWS_STREAM = 64
+
 _U8 = 1.0 / 255.0
 
 #: jnp front-end for procedural_tex._eval that returns a plain (r, g, b)
@@ -92,7 +98,7 @@ def _make_render_kernel(
     cam: tuple[int, int, int, int] | None = None,
     stream: bool = False,
     shadows: bool = False,
-    atlas_defer: bool = False,
+    atlas_mode: int = 0,
 ):
     """``cam = (trows, tiles_x, width, height)`` selects in-kernel raygen:
     instead of six [ROWS, 128] ray inputs streamed from HBM, the kernel
@@ -111,19 +117,31 @@ def _make_render_kernel(
     array DMA'd per surviving cluster (ops/trace_pallas._emit_traversal) —
     the fused frame stays available past the VMEM table budget.
 
-    ``atlas_defer`` keeps the fused frame available for scenes with
+    ``atlas_mode`` keeps the fused frame available for scenes with
     IMPORTED (non-procedural) textures: in reference-parity shading the
     per-bounce radiance contribution is **linear in the albedo texel**
-    (``contrib = coef * color(texel) + spec_light``) and the throughput/
-    next-ray state never reads it — so the kernel runs the whole bounce
-    loop texel-blind, emitting per bounce the flat texel-pool index (i32,
-    computed in-kernel from the winning material's texture record exactly
-    like shade._pool_index), the material color bytes, and the coefficient
-    ``energy*dif + atm*ambient``; ``render_fused*`` then fetches each
-    bounce's texels with ONE XLA row gather and adds ``coef * modulate(
-    mat_b, texel)``. This replaces the two-phase path's per-bounce shading
-    fusion soup (~dozens of HBM-bound elementwise passes) with the same
-    single gather it already paid, and keeps the traversal fused."""
+    (``contrib = coef * color(texel) + spec_light``), and neither the
+    throughput update nor the next ray reads the texel — so the kernel
+    runs the whole bounce loop texel-blind and ``_finish_frame`` fetches
+    all bounces' texels with ONE combined XLA row gather. This replaces
+    the two-phase path's per-bounce shading fusion soup (~dozens of
+    HBM-bound elementwise passes) with the same single gather it already
+    paid, and keeps the traversal fused. Two sub-modes:
+
+    * ``atlas_mode=1`` (M <= MAX_FUSED_MATERIALS): the kernel selects the
+      material row with the static in-kernel loop and emits per bounce
+      the flat texel-pool index (i32, shade._pool_index expression), the
+      material color bytes, and the coefficient ``energy*dif +
+      atm*ambient`` (7 blocks).
+    * ``atlas_mode=2`` (any M): the kernel reads no material data at all,
+      emitting only the winning material id, (uu, vv), and the
+      coefficient (6 blocks); _finish_frame fetches material rows with a
+      one-hot MXU gather and computes the pool indices itself. The
+      one-hot traffic (~7 ms at 1080p) makes this the large-M fallback
+      only.
+
+    Both emit -1/-2 sentinels for miss-now/dead lanes (sky rides the
+    combined gather; dead lanes pin to row 0)."""
     from clraytracer_tpu.scene.procedural_tex import _eval
 
     ROWS = rows
@@ -207,7 +225,7 @@ def _make_render_kernel(
         energy = [one, one, one]
         men = [zero, zero, zero]  # throughput at first miss
         mdir = [zero, zero, zero]  # direction at first miss
-        defer_out = []  # atlas_defer: per-bounce (idx_f32, mat_b[3], coef[3])
+        defer_out = []  # atlas modes: per-bounce deferred-shading blocks
         alive = jnp.ones((ROWS, 128), jnp.bool_)
         # per-bounce atmospheric constants: the f32 chain 0.255 * 0.4^b,
         # replicated in numpy f32 so each bounce's value matches shade_hits'
@@ -314,22 +332,29 @@ def _make_render_kernel(
 
             # ---- material row (static select; mat id is f32-exact) --------
             mat_idf = mstart + matl
-            alb = [zero, zero, zero]
-            ahi = zero
-            alo = zero
-            aw = zero
-            ah = zero
-            for mi in range(n_materials):
-                selm = mat_idf == float(mi)
-                for c in range(3):
-                    alb[c] = jnp.where(selm, mat_ref[mi, c], alb[c])
-                ahi = jnp.where(selm, mat_ref[mi, 10], ahi)
-                alo = jnp.where(selm, mat_ref[mi, 11], alo)
-                if atlas_defer:
-                    aw = jnp.where(selm, mat_ref[mi, 8], aw)
-                    ah = jnp.where(selm, mat_ref[mi, 9], ah)
+            if atlas_mode == 2:
+                # deferred-material mode: no material data is read in the
+                # kernel at all (see the atlas_mode docstring) — only the
+                # winning material id is emitted, so the O(M) select loop
+                # below is skipped and any material count works
+                color = None
+            else:
+                alb = [zero, zero, zero]
+                ahi = zero
+                alo = zero
+                aw = zero
+                ah = zero
+                for mi in range(n_materials):
+                    selm = mat_idf == float(mi)
+                    for c in range(3):
+                        alb[c] = jnp.where(selm, mat_ref[mi, c], alb[c])
+                    ahi = jnp.where(selm, mat_ref[mi, 10], ahi)
+                    alo = jnp.where(selm, mat_ref[mi, 11], alo)
+                    if atlas_mode == 1:
+                        aw = jnp.where(selm, mat_ref[mi, 8], aw)
+                        ah = jnp.where(selm, mat_ref[mi, 9], ah)
 
-            if atlas_defer:
+            if atlas_mode == 1:
                 # flat pool index of the albedo texel, the exact op sequence
                 # of shade._pool_index — in i32 (pool offsets exceed f32's
                 # 2^24 integer range on ~100 MB pools)
@@ -342,7 +367,7 @@ def _make_render_kernel(
                 ) + alo.astype(jnp.int32)
                 tex_idx = vi * aw.astype(jnp.int32) + ui + off_i
                 color = None
-            else:
+            if atlas_mode == 0:
                 # ---- procedural texel (static per-descriptor select;
                 # selection by hi/lo offset, exactly shade._eval_tex_inline)
                 texel = [zero, zero, zero]  # byte values [0, 255]
@@ -426,41 +451,58 @@ def _make_render_kernel(
             # origin); direction = reflect(d, n)
             ndd = n[0] * d[0] + n[1] * d[1] + n[2] * d[2]
             dif = ndl if shadow is None else ndl * shadow
-            if atlas_defer:
-                # texel-independent shading: accumulate spec_light now, emit
-                # (pool index, material bytes, contribution coefficient) for
-                # the XLA post-gather. Lanes that miss AT THIS BOUNCE emit
-                # the -1 sentinel: _finish_frame substitutes their skybox
-                # index so the sky texel rides the SAME per-bounce gather
-                # (a separate sky gather measured ~28 ms/frame at 1080p).
-                # Dead lanes pin idx to 0 (the row gather is coherence-
-                # bound); their coefficient is zero either way.
-                defer_out.append(
-                    (
-                        jax.lax.bitcast_convert_type(
-                            jnp.where(
-                                live,
-                                tex_idx,
-                                jnp.where(miss_now, -1, 0),
-                            ),
-                            jnp.float32,
-                        ),
-                        [
-                            jnp.round(jnp.clip(alb[c], 0.0, 1.0) * 255.0)
-                            for c in range(3)
-                        ],
-                        [
-                            jnp.where(
-                                live,
-                                energy[c] * dif + float(atm[c]) * amb_m,
-                                0.0,
-                            )
-                            for c in range(3)
-                        ],
+            if atlas_mode:
+                # texel-independent shading: accumulate spec_light now and
+                # emit the deferred blocks for the XLA post-pass. Lanes
+                # that miss AT THIS BOUNCE emit the -1 sentinel:
+                # _finish_frame substitutes their skybox texel through the
+                # SAME combined gather (a separate sky gather measured
+                # ~28 ms/frame at 1080p). Dead lanes pin their pool index
+                # to 0 / emit -2 (the row gather is coherence-bound);
+                # their coefficient is zero either way.
+                coef = [
+                    jnp.where(
+                        live,
+                        energy[c] * dif + float(atm[c]) * amb_m,
+                        0.0,
                     )
-                )
+                    for c in range(3)
+                ]
+                if atlas_mode == 1:
+                    defer_out.append(
+                        (
+                            jax.lax.bitcast_convert_type(
+                                jnp.where(
+                                    live,
+                                    tex_idx,
+                                    jnp.where(miss_now, -1, 0),
+                                ),
+                                jnp.float32,
+                            ),
+                            [
+                                jnp.round(
+                                    jnp.clip(alb[c], 0.0, 1.0) * 255.0
+                                )
+                                for c in range(3)
+                            ],
+                            coef,
+                        )
+                    )
+                else:
+                    defer_out.append(
+                        (
+                            jnp.where(
+                                live,
+                                mat_idf,
+                                jnp.where(miss_now, -1.0, -2.0),
+                            ),
+                            uu,
+                            vv,
+                            coef,
+                        )
+                    )
             for c in range(3):
-                if atlas_defer:
+                if atlas_mode:
                     contrib = spec_light
                 else:
                     contrib = (
@@ -483,17 +525,29 @@ def _make_render_kernel(
             out_ref[c * ROWS : (c + 1) * ROWS, :] = result[c]
             out_ref[(3 + c) * ROWS : (4 + c) * ROWS, :] = men[c]
             out_ref[(6 + c) * ROWS : (7 + c) * ROWS, :] = mdir[c]
-        # atlas_defer blocks: per bounce, idx | mat_b rgb | coef rgb
-        for b, (idxf, mat_b, coef) in enumerate(defer_out):
-            base = 9 + 7 * b
-            out_ref[base * ROWS : (base + 1) * ROWS, :] = idxf
-            for c in range(3):
-                out_ref[
-                    (base + 1 + c) * ROWS : (base + 2 + c) * ROWS, :
-                ] = mat_b[c]
-                out_ref[
-                    (base + 4 + c) * ROWS : (base + 5 + c) * ROWS, :
-                ] = coef[c]
+        # deferred blocks: mode 1 = idx | mat_b rgb | coef rgb (7);
+        # mode 2 = mat id | uu | vv | coef rgb (6)
+        if atlas_mode == 1:
+            for b, (idxf, mat_b, coef) in enumerate(defer_out):
+                base = 9 + 7 * b
+                out_ref[base * ROWS : (base + 1) * ROWS, :] = idxf
+                for c in range(3):
+                    out_ref[
+                        (base + 1 + c) * ROWS : (base + 2 + c) * ROWS, :
+                    ] = mat_b[c]
+                    out_ref[
+                        (base + 4 + c) * ROWS : (base + 5 + c) * ROWS, :
+                    ] = coef[c]
+        elif atlas_mode == 2:
+            for b, (mid, buu, bvv, coef) in enumerate(defer_out):
+                base = 9 + 6 * b
+                out_ref[base * ROWS : (base + 1) * ROWS, :] = mid
+                out_ref[(base + 1) * ROWS : (base + 2) * ROWS, :] = buu
+                out_ref[(base + 2) * ROWS : (base + 3) * ROWS, :] = bvv
+                for c in range(3):
+                    out_ref[
+                        (base + 3 + c) * ROWS : (base + 4 + c) * ROWS, :
+                    ] = coef[c]
 
     return kernel
 
@@ -502,7 +556,7 @@ def _make_render_kernel(
     jax.jit,
     static_argnames=(
         "instance_ranges", "rows", "tex_descs", "bounces", "cam", "n_tiles",
-        "stream", "shadows", "atlas_defer",
+        "stream", "shadows", "atlas_mode",
     ),
 )
 def _render_tiles(
@@ -522,21 +576,21 @@ def _render_tiles(
     n_tiles: int | None = None,
     stream: bool = False,
     shadows: bool = False,
-    atlas_defer: bool = False,
+    atlas_mode: int = 0,
 ):
     if cam is None:
         n_tiles = rays6[0].shape[0]
     ROWS = rows
     kernel = _make_render_kernel(
         instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam,
-        stream, shadows, atlas_defer,
+        stream, shadows, atlas_mode,
     )
     on_tpu = jax.default_backend() == "tpu"
     interpret = (
         False if on_tpu
         else (pltpu.InterpretParams() if stream else True)
     )
-    n_out = 9 + (7 * bounces if atlas_defer else 0)
+    n_out = 9 + (7, 6)[atlas_mode - 1] * bounces if atlas_mode else 9
     tile_spec = pl.BlockSpec(
         (None, ROWS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -580,7 +634,7 @@ def _render_tiles(
     )
     fld3 = lambda k: big[:, k * ROWS : (k + 3) * ROWS, :]
     # result, miss_energy, miss_dir blocks (+ the raw deferred-texel blocks)
-    extra = big[:, 9 * ROWS :, :] if atlas_defer else None
+    extra = big[:, 9 * ROWS :, :] if atlas_mode else None
     return fld3(0), fld3(3), fld3(6), extra
 
 
@@ -588,9 +642,13 @@ def fused_path_available(scene: Scene, reference_parity: bool,
                          integer_colors: bool) -> bool:
     """Static eligibility of the fused megakernel for this scene/config.
 
-    Scenes where every texture is procedural shade fully in-kernel; all
-    others use the kernel's deferred-texel mode (``atlas_defer``) — either
-    way the fused path applies."""
+    Scenes where every texture is procedural shade fully in-kernel (their
+    material rows are selected by a static in-kernel loop, so the material
+    count is bounded); all others use the kernel's deferred-texel atlas
+    modes — mode 2 reads no material data in-kernel at all, so any
+    material count works there."""
+    from clraytracer_tpu.ops.shade import _all_procedural
+
     return (
         reference_parity
         and integer_colors
@@ -600,26 +658,37 @@ def fused_path_available(scene: Scene, reference_parity: bool,
             _table_bytes(scene.clusters) <= _tp.VMEM_TABLE_BUDGET
             or scene.clusters.geo_stream is not None  # HBM-streamed tables
         )
-        and scene.materials.count <= MAX_FUSED_MATERIALS
+        and (
+            scene.materials.count <= MAX_FUSED_MATERIALS
+            or not _all_procedural(scene)
+        )
     )
 
 
 def _finish_frame(
     scene: Scene,
-    res: Array,  # [3, rows, 128] in-kernel radiance (spec_light only when
-    #   atlas_defer; full hit shading otherwise)
+    res: Array,  # [3, rows, 128] in-kernel radiance (spec_light only in
+    #   atlas modes; full hit shading otherwise)
     men: Array,  # [3, rows, 128] throughput at first miss
     mdir: Array,  # [3, rows, 128] direction at first miss
-    extra: Array | None,  # [T, 7*B*ROWS, 128] deferred-texel blocks
+    extra: Array | None,  # [T, K*B*ROWS, 128] deferred blocks (K = 7 or 6)
     n_tiles: int,
     rows: int,
     bounces: int,
+    atlas_mode: int = 0,
 ) -> Array:
-    """Shared XLA tail of the fused frame: deferred texel fetch (+ modulate
-    + coefficient multiply) per bounce when ``extra`` is present, then the
-    deferred skybox add. All texel values come from the same pool rows the
-    two-phase path gathers, so results agree to float precision."""
-    from clraytracer_tpu.ops.gather import take_rgb
+    """Shared XLA tail of the fused frame: deferred texel fetch per bounce
+    when ``extra`` is present, then the deferred skybox add.
+
+    Mode 1 blocks carry ready pool indices + material bytes from the
+    kernel; mode 2 carries material ids — the material row is fetched
+    here with one one-hot MXU gather and the pool index computed in i32
+    (shade._pool_index expression; offsets exceed f32's 2^24 range on
+    ~100 MB pools). Either way ONE combined texel row gather serves all
+    bounces + sky, then the integer modulate and coefficient multiply.
+    All texel/material values come from the same table rows the two-phase
+    path gathers, so results agree to float precision."""
+    from clraytracer_tpu.ops.gather import onehot_rows, take_rgb
     from clraytracer_tpu.ops.shade import (
         _eval_skybox_inline,
         _skybox_index,
@@ -628,36 +697,63 @@ def _finish_frame(
     pk = scene.packed
     sky_idx = _skybox_index(pk.skybox_w, pk.skybox_h, pk.skybox_off, mdir)
     if extra is not None:
+        K = (7, 6)[atlas_mode - 1]
         rows_total = res.shape[1]
         ex = (
-            extra.reshape(n_tiles, 7 * bounces, rows, 128)
+            extra.reshape(n_tiles, K * bounces, rows, 128)
             .transpose(1, 0, 2, 3)
-            .reshape(7 * bounces, rows_total, 128)
+            .reshape(K * bounces, rows_total, 128)
         )
-        # ONE pool row gather for the whole frame: hit lanes fetch their
-        # albedo texel; lanes that missed at this bounce (idx == -1
-        # sentinel) fetch their skybox texel through the same gather — a
-        # lane misses at most once, so summing the miss-masked texels
-        # reconstructs the sky color each ray saw (identical pool rows to
-        # the two-phase path; procedural textures are baked into the pool
-        # too). All bounces share a single combined gather: XLA stages the
-        # pool into scoped VMEM for one gather when it fits, and a second
-        # separate gather fell off that path and read HBM at ~17 ns/row
-        # (measured 35.7 vs 3.75 ms for the SAME shapes at 1080p).
-        raws = [
-            jax.lax.bitcast_convert_type(ex[7 * b], jnp.int32)
-            for b in range(bounces)
-        ]
-        misses = [raw < 0 for raw in raws]
-        idx_all = jnp.stack(
-            [
-                jnp.where(miss_b, sky_idx, raw)
-                for raw, miss_b in zip(raws, misses)
-            ]
-        )  # [B, rows, 128]
+        if atlas_mode == 1:
+            raw = jnp.stack(
+                [
+                    jax.lax.bitcast_convert_type(ex[7 * b], jnp.int32)
+                    for b in range(bounces)
+                ]
+            )
+            miss_all = raw < 0
+            tex_idx = raw
+            mat_b = jnp.stack(
+                [ex[7 * b + 1 : 7 * b + 4] for b in range(bounces)], axis=1
+            )  # [3, B, rows, 128]
+            coefs = [ex[7 * b + 4 : 7 * b + 7] for b in range(bounces)]
+        else:
+            # one one-hot material-row gather over every bounce's lanes
+            # (the -1 miss / -2 dead sentinels clamp to row 0, whose
+            # values are discarded by the zero coefficients)
+            mid_all = jnp.stack([ex[6 * b] for b in range(bounces)])
+            mat = onehot_rows(
+                pk.mat_rows, mid_all.astype(jnp.int32)
+            )  # [16, B, rows, 128]
+            aw, ah = mat[8], mat[9]
+            off_i = mat[10].astype(jnp.int32) * (1 << 12) + mat[11].astype(
+                jnp.int32
+            )  # shade._OFF_SHIFT hi/lo split
+            uu = jnp.stack([ex[6 * b + 1] for b in range(bounces)])
+            vv = jnp.stack([ex[6 * b + 2] for b in range(bounces)])
+            # shade._pool_index, op for op (wrap + truncating scale)
+            ui = ((uu - jnp.floor(uu)) * aw).astype(jnp.int32)
+            vi = ((vv - jnp.floor(vv)) * ah).astype(jnp.int32)
+            miss_all = mid_all == -1.0
+            tex_idx = jnp.where(
+                mid_all >= 0.0,
+                vi * aw.astype(jnp.int32) + ui + off_i,
+                0,
+            )
+            mat_b = jnp.round(jnp.clip(mat[0:3], 0.0, 1.0) * 255.0)
+            coefs = [ex[6 * b + 3 : 6 * b + 6] for b in range(bounces)]
+        # lanes that missed at this bounce (sentinel -1 / mid -1) fetch
+        # their skybox texel through the SAME combined gather — a lane
+        # misses at most once, so summing the miss-masked texels
+        # reconstructs the sky color each ray saw. All bounces + sky share
+        # ONE gather: a second separate gather fell off XLA's scoped-VMEM
+        # staging path and read HBM at ~17 ns/row (measured 35.7 vs
+        # 3.75 ms, identical shapes, 1080p). Dead lanes pin to row 0 —
+        # the gather is coherence-bound.
+        idx_all = jnp.where(miss_all, sky_idx[None], tex_idx)  # [B, rows, 128]
         if pk.texels_u32 is not None:
             # large pool: flat packed-RGB8 gather (~7 ns/idx vs ~25 for the
-            # un-staged [P, 4] row gather — measured 107 → 30 ms on the
+            # un-staged [P, 4] row gather — measured 107 -> 30 ms on the
             # museum frame at 1080p) + byte unpack. texel = byte * (1/255)
             # is the pool's own construction formula, so values are
             # bit-identical to the row-gather path.
@@ -671,17 +767,15 @@ def _finish_frame(
             )  # [3, B, rows, 128]
         else:
             tex_all = take_rgb(scene.atlas.texels, idx_all)
+        # integer color modulate (shade._modulate_bytes, bit-exactly —
+        # mat_b is the material's exact color bytes) and the per-bounce
+        # coefficient multiply
+        tex_b = jnp.round(tex_all * 255.0)
+        color = jnp.floor(mat_b * tex_b * (1.0 / 256.0)) * _U8
         sky = jnp.zeros_like(res)
         for b in range(bounces):
-            miss_b = misses[b]
-            mat_b = ex[7 * b + 1 : 7 * b + 4]
-            coef = ex[7 * b + 4 : 7 * b + 7]
-            texel = tex_all[:, b]  # [3, rows, 128]
-            # shade._modulate_bytes, bit-exactly (mat_b computed in-kernel)
-            tex_b = jnp.round(texel * 255.0)
-            color = jnp.floor(mat_b * tex_b * (1.0 / 256.0)) * _U8
-            res = res + coef * color
-            sky = jnp.where(miss_b[None], sky + texel, sky)
+            res = res + coefs[b] * color[:, b]
+            sky = jnp.where(miss_all[b][None], sky + tex_all[:, b], sky)
     else:
         sky = _eval_skybox_inline(scene, sky_idx, pk.skybox_w, pk.skybox_off)
     return res + sky * men
@@ -720,17 +814,24 @@ def render_fused(
 
     rows_total = origin.shape[1]
     n = rows_total * 128
-    ROWS = rows if rows is not None else min(FUSED_ROWS, _tile_rows(n))
+    clusters = scene.clusters
+    default_rows = (
+        FUSED_ROWS_STREAM
+        if _table_bytes(clusters) > _tp.VMEM_TABLE_BUDGET
+        else FUSED_ROWS
+    )
+    ROWS = rows if rows is not None else min(default_rows, _tile_rows(n))
     while rows is None and rows_total % ROWS:
         ROWS //= 2  # rows_total is a multiple of 8, so this terminates
     n_tiles = rows_total // ROWS
     assert n_tiles * ROWS == rows_total, (rows_total, ROWS)
 
-    clusters = scene.clusters
     mesh_idx, _, _, _ = _instance_tables(scene)
     ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
-    atlas_defer = not _all_procedural(scene)
-    tex_descs = () if atlas_defer else tuple(
+    atlas_mode = 0 if _all_procedural(scene) else (
+        1 if scene.materials.count <= MAX_FUSED_MATERIALS else 2
+    )
+    tex_descs = () if atlas_mode else tuple(
         (off >> _OFF_SHIFT, off & ((1 << _OFF_SHIFT) - 1), desc)
         for _h, off, desc in scene.procedural_tex
     )
@@ -758,7 +859,7 @@ def render_fused(
         bounces,
         stream=stream,
         shadows=enable_shadows,
-        atlas_defer=atlas_defer,
+        atlas_mode=atlas_mode,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
@@ -774,7 +875,7 @@ def render_fused(
     # arctan2/arccos keep bit-parity with the two-phase/golden paths;
     # misses terminate rays, so one add suffices
     return _finish_frame(
-        scene, res, men, mdir, extra, n_tiles, ROWS, bounces
+        scene, res, men, mdir, extra, n_tiles, ROWS, bounces, atlas_mode
     )
 
 
@@ -803,7 +904,13 @@ def render_fused_camera(
     tiles_x = -(-width // 128)
     tiles_y = -(-height // trows)
     rows_total = tiles_y * tiles_x * trows
-    ROWS = rows if rows is not None else min(FUSED_ROWS, trows)
+    clusters = scene.clusters
+    default_rows = (
+        FUSED_ROWS_STREAM
+        if _table_bytes(clusters) > _tp.VMEM_TABLE_BUDGET
+        else FUSED_ROWS
+    )
+    ROWS = rows if rows is not None else min(default_rows, trows)
     while rows is None and trows % ROWS:
         ROWS //= 2  # trows is a multiple of 8, so this terminates
     n_tiles = rows_total // ROWS
@@ -811,11 +918,12 @@ def render_fused_camera(
         rows_total, trows, ROWS,
     )
 
-    clusters = scene.clusters
     mesh_idx, _, _, _ = _instance_tables(scene)
     ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
-    atlas_defer = not _all_procedural(scene)
-    tex_descs = () if atlas_defer else tuple(
+    atlas_mode = 0 if _all_procedural(scene) else (
+        1 if scene.materials.count <= MAX_FUSED_MATERIALS else 2
+    )
+    tex_descs = () if atlas_mode else tuple(
         (off >> _OFF_SHIFT, off & ((1 << _OFF_SHIFT) - 1), desc)
         for _h, off, desc in scene.procedural_tex
     )
@@ -849,7 +957,7 @@ def render_fused_camera(
         n_tiles=n_tiles,
         stream=stream,
         shadows=enable_shadows,
-        atlas_defer=atlas_defer,
+        atlas_mode=atlas_mode,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
@@ -861,6 +969,6 @@ def render_fused_camera(
 
     res, men, mdir = untile3(res), untile3(men), untile3(mdir)
     img = _finish_frame(
-        scene, res, men, mdir, extra, n_tiles, ROWS, bounces
+        scene, res, men, mdir, extra, n_tiles, ROWS, bounces, atlas_mode
     )
     return img, (trows, tiles_x, tiles_y)

@@ -293,11 +293,18 @@ def test_fused_atlas_render_matches_two_phase(two_instance_scene, monkeypatch):
     img_f = np.asarray(
         trace_image(two_instance_scene, frame, 64, 48, tracer=trace_pallas)
     )
+    # atlas_mode=2 (deferred material, the any-material-count fallback):
+    # forcing the in-kernel-select bound to 0 routes mode 1 -> 2
+    monkeypatch.setattr(rp, "MAX_FUSED_MATERIALS", 0)
+    img_m2 = np.asarray(
+        trace_image(two_instance_scene, frame, 64, 48, tracer=trace_pallas)
+    )
     monkeypatch.setattr(rp, "fused_path_available", lambda *a: False)
     img_2 = np.asarray(
         trace_image(two_instance_scene, frame, 64, 48, tracer=trace_pallas)
     )
     np.testing.assert_allclose(img_f, img_2, atol=1e-5)
+    np.testing.assert_allclose(img_m2, img_2, atol=1e-5)
 
 
 def test_flat_texel_gather_matches_row_gather(monkeypatch):
