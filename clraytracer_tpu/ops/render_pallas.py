@@ -70,11 +70,28 @@ MAX_FUSED_MATERIALS = 64
 #: spill outweighs the halved scalar-work amortization.
 FUSED_ROWS = 32
 
-#: tile height for HBM-STREAMED scenes: the DMA pipeline + per-cluster
-#: scalar work amortize over more rays per tile (museum 1080p measured:
-#: r8 229 / r16 139 / r32 102 / r64 94 ms) — the opposite tradeoff from
-#: VMEM-resident scenes, where 32 beats 64 (less vreg spill in shading).
+#: tile height for HBM-STREAMED scenes with moderate cluster counts: the
+#: DMA pipeline + per-cluster scalar work amortize over more rays per tile
+#: (museum/5.3k clusters at 1080p: r8 229 / r16 139 / r32 102 / r64 94 ms).
+#: CLUSTER-DENSE streamed scenes invert (1M-tri sphere/33k clusters:
+#: r32 140 / r64 188 ms — a bigger tile's ray-frustum union survives
+#: culling against far more clusters, and that survivor work dominates the
+#: per-tile fixed cost the bigger tile amortizes), as do VMEM-resident
+#: scenes (less vreg spill in shading at 32). ``_fused_rows_default``
+#: picks per scene.
 FUSED_ROWS_STREAM = 64
+
+#: streamed scenes with more clusters than this use FUSED_ROWS instead
+FUSED_ROWS_STREAM_MAX_CLUSTERS = 8192
+
+
+def _fused_rows_default(clusters) -> int:
+    if (
+        _table_bytes(clusters) > _tp.VMEM_TABLE_BUDGET
+        and clusters.tri_a.shape[0] <= FUSED_ROWS_STREAM_MAX_CLUSTERS
+    ):
+        return FUSED_ROWS_STREAM
+    return FUSED_ROWS
 
 _U8 = 1.0 / 255.0
 
@@ -815,12 +832,10 @@ def render_fused(
     rows_total = origin.shape[1]
     n = rows_total * 128
     clusters = scene.clusters
-    default_rows = (
-        FUSED_ROWS_STREAM
-        if _table_bytes(clusters) > _tp.VMEM_TABLE_BUDGET
-        else FUSED_ROWS
+    ROWS = (
+        rows if rows is not None
+        else min(_fused_rows_default(clusters), _tile_rows(n))
     )
-    ROWS = rows if rows is not None else min(default_rows, _tile_rows(n))
     while rows is None and rows_total % ROWS:
         ROWS //= 2  # rows_total is a multiple of 8, so this terminates
     n_tiles = rows_total // ROWS
@@ -905,12 +920,10 @@ def render_fused_camera(
     tiles_y = -(-height // trows)
     rows_total = tiles_y * tiles_x * trows
     clusters = scene.clusters
-    default_rows = (
-        FUSED_ROWS_STREAM
-        if _table_bytes(clusters) > _tp.VMEM_TABLE_BUDGET
-        else FUSED_ROWS
+    ROWS = (
+        rows if rows is not None
+        else min(_fused_rows_default(clusters), trows)
     )
-    ROWS = rows if rows is not None else min(default_rows, trows)
     while rows is None and trows % ROWS:
         ROWS //= 2  # trows is a multiple of 8, so this terminates
     n_tiles = rows_total // ROWS
