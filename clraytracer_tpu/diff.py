@@ -57,11 +57,31 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
         # differentiable recompute of the object-space ray for the winning
         # instance (gradients flow into instance inverse transforms); planar
         o, d = object_space_rays(scene, hit.instance, origin, direction)
-        # differentiable planar Möller-Trumbore against the hit triangle
-        gc = lambda table, c: jnp.take(table[:, c], tri, mode="clip")
-        v0 = jnp.stack([gc(scene.tris.v0, c) for c in range(3)])
-        v1 = jnp.stack([gc(scene.tris.v1, c) for c in range(3)])
-        v2 = jnp.stack([gc(scene.tris.v2, c) for c in range(3)])
+        # differentiable planar Möller-Trumbore against the hit triangle.
+        # Everything per-triangle — the three vertices AND the 16 shading
+        # attributes — rides ONE wide row gather of an in-jit packed
+        # [T, 25] table (ops/gather.py: a row gather costs the same as one
+        # scalar gather; the nine scalar vertex takes alone, with their
+        # nine scatter-add VJPs, measured ~95 ms of the 213 ms fwd+bwd
+        # step at 540p). The concatenate's VJP is a split — gradients flow
+        # to v0/v1/v2/normals/uvs intact. The interpolated attributes are
+        # returned through SceneHit.attr_* (the same contract the Pallas
+        # kernel uses), so shade_hits performs no triangle gather at all.
+        from clraytracer_tpu.ops.gather import take_rows
+
+        trs = scene.tris
+        f32 = lambda a: a.astype(jnp.float32)
+        vt = jnp.concatenate(
+            [
+                trs.v0, trs.v1, trs.v2,
+                f32(trs.n0), f32(trs.n1), f32(trs.n2),
+                f32(trs.uv0), f32(trs.uv1), f32(trs.uv2),
+                f32(trs.mat_idx)[:, None],
+            ],
+            axis=1,
+        )  # [T, 25]
+        rows = take_rows(vt, tri)  # [25, ...] planar
+        v0, v1, v2 = rows[0:3], rows[3:6], rows[6:9]
         e1 = v1 - v0
         e2 = v2 - v0
         h = planar.cross(d, e2)
@@ -72,6 +92,16 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
         v = f * planar.dot(d, q)
         t = f * planar.dot(e2, q)
 
+        # barycentric attribute interpolation — the same expression tree as
+        # ops/shade.py's gather path (w0*a0 + u*a1 + v*a2 per component)
+        w0 = 1.0 - u - v
+        n_obj = jnp.stack(
+            [rows[9 + c] * w0 + rows[12 + c] * u + rows[15 + c] * v
+             for c in range(3)]
+        )
+        uu = rows[18] * w0 + rows[20] * u + rows[22] * v
+        vv = rows[19] * w0 + rows[21] * u + rows[23] * v
+
         keep = hit.hit
         return SceneHit(
             t=jnp.where(keep, t, MISS_DISTANCE),
@@ -80,6 +110,10 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
             tri=hit.tri,
             instance=hit.instance,
             hit=hit.hit,
+            attr_normal=n_obj,
+            attr_uu=uu,
+            attr_vv=vv,
+            attr_mat=rows[24],
         )
 
     return traced

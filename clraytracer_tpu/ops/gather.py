@@ -31,6 +31,12 @@ import jax.numpy as jnp
 from jax import Array
 
 
+#: tables at or below this row count use the one-hot MXU gather on the
+#: differentiable path too (onehot_rows_exact): the one-hot matrix is
+#: N x R — past ~512 rows its HBM traffic outgrows the row-gather cost
+ONEHOT_DIFF_MAX_ROWS = 512
+
+
 def take_rows(table: Array, idx: Array) -> Array:
     """Gather rows of ``table [R, W]`` at ``idx [...]`` → planar ``[W, ...]``.
 
@@ -107,3 +113,61 @@ def onehot_rows(table: Array, idx: Array) -> Array:
     out = out.T
     out = out[:width] + out[width : 2 * width] + out[2 * width :]
     return out.reshape((width,) + idx.shape)
+
+
+@jax.custom_vjp
+def onehot_rows_exact(table: Array, idx: Array) -> Array:
+    """:func:`onehot_rows` with a hand-written **exact** table VJP.
+
+    Autodiff through ``onehot_rows`` would cast the f32 cotangent to bf16
+    for the transposed MXU matmul (8 mantissa bits of gradient). Here the
+    backward pass applies the same three-plane residual-cascade
+    decomposition to the COTANGENT: each ``one_hot^T @ g_plane`` product is
+    an exact ``1.0 * g_plane`` term accumulated in f32, so the scatter-add
+    is reproduced to f32 accuracy on the MXU — the differentiable path's
+    small-table gathers (materials <= 256 rows, instances <= 401) then cost
+    matmuls instead of TPU scatter loops (measured: the instance + material
+    gather/scatter pairs were ~33 ms of the 99 ms fwd+bwd step at 540p).
+    """
+    return onehot_rows(table, idx)
+
+
+def _onehot_rows_exact_fwd(table, idx):
+    # tables are f32 (ShadingTables); residuals carry only ints + idx
+    return onehot_rows(table, idx), (idx, table.shape[0], table.shape[1])
+
+
+def _onehot_rows_exact_bwd(res, g):
+    idx, num_rows, width = res
+    flat = jnp.clip(idx.reshape(-1), 0, num_rows - 1)
+    gf = g.astype(jnp.float32).reshape(width, -1).T  # [N, W]
+
+    if jax.default_backend() != "tpu":
+        oh32 = jax.nn.one_hot(flat, num_rows, dtype=jnp.float32)
+        d_table = oh32.T @ gf
+        return d_table, None
+
+    oh = jax.nn.one_hot(flat, num_rows, dtype=jnp.bfloat16)
+    hi = gf.astype(jnp.bfloat16)
+    r = gf - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    planes = jnp.concatenate([hi, mid, lo], axis=1)  # [N, 3W]
+    d = jax.lax.dot_general(
+        oh, planes, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [R, 3W]: contract over rays — each term an exact 1.0 * g_plane
+    d_table = d[:, :width] + d[:, width : 2 * width] + d[:, 2 * width :]
+    return d_table, None
+
+
+onehot_rows_exact.defvjp(_onehot_rows_exact_fwd, _onehot_rows_exact_bwd)
+
+
+def small_rows_diff(table: Array, idx: Array) -> Array:
+    """Differentiable row gather that picks the MXU one-hot form for small
+    tables (exact values AND exact gradients) and the row gather + scatter
+    VJP past :data:`ONEHOT_DIFF_MAX_ROWS`."""
+    if table.shape[0] <= ONEHOT_DIFF_MAX_ROWS:
+        return onehot_rows_exact(table, idx)
+    return take_rows(table, idx)

@@ -309,7 +309,7 @@ def object_space_rays(
     per-ray analogue of the Trace kernel's MatMul with the cached inverse
     transform (kernel_main.cl:205-207)."""
     inst_rows = _shading_tables(scene, prefer_packed=False).inst_rows
-    m = gather.take_rows(inst_rows, instance_idx)
+    m = gather.small_rows_diff(inst_rows, instance_idx)
     return _transform_rays(m, origin, direction)
 
 
@@ -418,10 +418,15 @@ def shade_hits(
     live = state.alive & hit
 
     # ---- table fetches ------------------------------------------------------
-    # fast: one-hot MXU gathers (~0.1 ms); diff: row gathers — same values,
-    # but exact (scatter-add) gradients instead of bf16-rounded matmul VJPs
-    small_rows = gather.onehot_rows if fast else gather.take_rows
-    use_kernel_attrs = attrs is not None and integer_colors
+    # fast: one-hot MXU gathers (~0.1 ms); diff: the same one-hot form with
+    # a hand-written exact VJP (gather.onehot_rows_exact) — values AND
+    # gradients to f32 accuracy, no TPU scatter loops — falling back to row
+    # gathers (scatter-add VJP) only past the one-hot size bound
+    small_rows = gather.onehot_rows if fast else gather.small_rows_diff
+    # pre-interpolated attrs come from the Pallas kernel (integer-colors
+    # fast path) or from the differentiable tracer's combined row gather
+    # (diff.py) — both interpolate with shade's exact expression tree
+    use_kernel_attrs = attrs is not None
     if use_kernel_attrs:
         attr = None
         mat_local = attrs[3].astype(jnp.int32)
