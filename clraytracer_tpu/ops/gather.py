@@ -132,20 +132,31 @@ def onehot_rows_exact(table: Array, idx: Array) -> Array:
     return onehot_rows(table, idx)
 
 
+def _vma(x) -> frozenset:
+    """Varying-manual-axes set of a (possibly traced) array — which
+    shard_map mesh axes the value varies over; empty outside shard_map."""
+    aval = getattr(x, "aval", None)
+    return getattr(aval, "vma", frozenset()) or frozenset()
+
+
 def _onehot_rows_exact_fwd(table, idx):
-    # tables are f32 (ShadingTables); residuals carry only ints + idx
-    return onehot_rows(table, idx), (idx, table.shape[0], table.shape[1])
+    # tables are f32 (ShadingTables); residuals carry ints, idx, and a
+    # zero-size slice of the table — its aval keeps the table's vma so the
+    # bwd can reduce the cotangent over exactly the right mesh axes
+    return onehot_rows(table, idx), (
+        idx, table.shape[0], table.shape[1], table[:0, :0]
+    )
 
 
 def _onehot_rows_exact_bwd(res, g):
-    idx, num_rows, width = res
+    idx, num_rows, width, table_proto = res
     flat = jnp.clip(idx.reshape(-1), 0, num_rows - 1)
     gf = g.astype(jnp.float32).reshape(width, -1).T  # [N, W]
 
     if jax.default_backend() != "tpu":
         oh32 = jax.nn.one_hot(flat, num_rows, dtype=jnp.float32)
         d_table = oh32.T @ gf
-        return d_table, None
+        return _reduce_to_table_vma(d_table, g, table_proto), None
 
     oh = jax.nn.one_hot(flat, num_rows, dtype=jnp.bfloat16)
     hi = gf.astype(jnp.bfloat16)
@@ -158,7 +169,24 @@ def _onehot_rows_exact_bwd(res, g):
         preferred_element_type=jnp.float32,
     )  # [R, 3W]: contract over rays — each term an exact 1.0 * g_plane
     d_table = d[:, :width] + d[:, width : 2 * width] + d[:, 2 * width :]
-    return d_table, None
+    return _reduce_to_table_vma(d_table, g, table_proto), None
+
+
+def _reduce_to_table_vma(d_table, g, table_proto):
+    """Under ``shard_map``, reduce the table cotangent over the mesh axes
+    the COTANGENT varies on but the TABLE does not.
+
+    A custom_vjp replaces the autodiff transpose that would normally turn
+    the forward's implicit replicated→varying broadcast into a psum, so the
+    bwd must perform that reduction itself or a replicated (``P()``) table
+    param would receive a device-varying gradient (shard_map's vma check
+    rejects it). Axes the table itself varies over (e.g. instance tables
+    sharded along a 'geo' axis) are left unreduced. No-op outside
+    shard_map (both vma sets are empty)."""
+    axes = tuple(sorted(_vma(g) - _vma(table_proto)))
+    if axes:
+        d_table = jax.lax.psum(d_table, axes)
+    return d_table
 
 
 onehot_rows_exact.defvjp(_onehot_rows_exact_fwd, _onehot_rows_exact_bwd)
