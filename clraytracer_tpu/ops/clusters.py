@@ -32,6 +32,7 @@ import numpy as np
 
 CLUSTER_SIZE = 32
 SUPER_SIZE = 32  # clusters per supercluster
+HYPER_SIZE = 32  # superclusters per hypercluster (phase-A0 culling level)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,10 +58,15 @@ class ClusterTables:
     tri_gid: np.ndarray  # [C * CLUSTER_SIZE] i32 global arena tri index
     cluster_min: np.ndarray  # [C, 3] f32 (padded to [C, 8] on device)
     cluster_max: np.ndarray  # [C, 3] f32
-    super_min: np.ndarray  # [S, 3] f32
+    super_min: np.ndarray  # [S, 3] f32 — S is per-mesh padded to a
+    #   multiple of HYPER_SIZE (inverted-empty pads) so each mesh's
+    #   hypercluster range is derivable as super_start // HYPER_SIZE
     super_max: np.ndarray  # [S, 3] f32
+    hyper_min: np.ndarray  # [H, 3] f32 — AABBs over HYPER_SIZE supers
+    hyper_max: np.ndarray  # [H, 3] f32
     # per-mesh static ranges (indices into the global cluster/supercluster
-    # tables): (super_start, super_count, cluster_start, cluster_count)
+    # tables): (super_start, super_count, cluster_start, cluster_count);
+    # super_count is the REAL (unpadded) count
     mesh_ranges: tuple[tuple[int, int, int, int], ...]
 
 
@@ -186,6 +192,8 @@ def build_clusters(
     cmaxs: list[np.ndarray] = []
     smins: list[np.ndarray] = []
     smaxs: list[np.ndarray] = []
+    hmins: list[np.ndarray] = []
+    hmaxs: list[np.ndarray] = []
     ranges: list[tuple[int, int, int, int]] = []
 
     c_cursor = 0
@@ -277,15 +285,29 @@ def build_clusters(
         smin = cmin_p.reshape(n_super, SUPER_SIZE, 3).min(axis=1)
         smax = cmax_p.reshape(n_super, SUPER_SIZE, 3).max(axis=1)
 
+        # pad each mesh's super table to a multiple of HYPER_SIZE with
+        # inverted-empty boxes (they fail every slab test), and roll the
+        # hypercluster level up over the padded groups — the padding keeps
+        # every mesh's hyper range derivable (super_start // HYPER_SIZE)
+        # without widening mesh_ranges
+        n_hyper = -(-n_super // HYPER_SIZE)
+        pad_s = n_hyper * HYPER_SIZE - n_super
+        smin_p = np.concatenate([smin, np.full((pad_s, 3), big, np.float32)])
+        smax_p = np.concatenate([smax, np.full((pad_s, 3), -big, np.float32)])
+        hmin = smin_p.reshape(n_hyper, HYPER_SIZE, 3).min(axis=1)
+        hmax = smax_p.reshape(n_hyper, HYPER_SIZE, 3).max(axis=1)
+
         tri_rows.append((ta, tb, tc))
         gids.append(gid)
         cmins.append(cmin)
         cmaxs.append(cmax)
-        smins.append(smin)
-        smaxs.append(smax)
+        smins.append(smin_p)
+        smaxs.append(smax_p)
+        hmins.append(hmin)
+        hmaxs.append(hmax)
         ranges.append((s_cursor, n_super, c_cursor, n_clusters))
         c_cursor += n_clusters
-        s_cursor += n_super
+        s_cursor += n_hyper * HYPER_SIZE
 
     return ClusterTables(
         tri_a=np.concatenate([r[0] for r in tri_rows], axis=0),
@@ -300,5 +322,7 @@ def build_clusters(
         cluster_max=np.concatenate(cmaxs, axis=0),
         super_min=np.concatenate(smins, axis=0),
         super_max=np.concatenate(smaxs, axis=0),
+        hyper_min=np.concatenate(hmins, axis=0),
+        hyper_max=np.concatenate(hmaxs, axis=0),
         mesh_ranges=tuple(ranges),
     )

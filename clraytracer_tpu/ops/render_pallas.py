@@ -116,6 +116,7 @@ def _make_render_kernel(
     stream: bool = False,
     shadows: bool = False,
     atlas_mode: int = 0,
+    has_hyper: bool = False,
 ):
     """``cam = (trows, tiles_x, width, height)`` selects in-kernel raygen:
     instead of six [ROWS, 128] ray inputs streamed from HBM, the kernel
@@ -180,10 +181,15 @@ def _make_render_kernel(
             clab_ref,  # [C, 8] cluster AABBs
         ) = rest[:5]
         rest = rest[5:]
+        if has_hyper:
+            hyab_ref, rest = rest[0], rest[1:]  # packed hypercluster AABBs
+        else:
+            hyab_ref = None
         if stream:
             geo_ref = rest[0]  # [8C, 128] ANY (HBM) — see Clusters.geo_stream
             (out_ref, sc_scratch, sk_scratch, cl_scratch, bits_scratch,
-             bx_scratch, hs_ref, buf_ref, sem_ref) = rest[1:]
+             bx_scratch, fmx_scratch, cnt_cell, hs_ref,
+             buf_ref, sem_ref) = rest[1:]
             tables = (None,) * 7
             stream_refs = (geo_ref, buf_ref, sem_ref)
         else:
@@ -201,6 +207,8 @@ def _make_render_kernel(
                 cl_scratch,  # SMEM [C_total] i32
                 bits_scratch,  # VMEM [8, 128] i32 OR-tree staging
                 bx_scratch,  # SMEM [32*6] f32 chunk box stash
+                fmx_scratch,  # VMEM [8, 128] f32 max-tree staging
+                cnt_cell,  # SMEM [1] i32 survivor-count cell
                 hs_ref,  # VMEM [11*ROWS, 128] per-bounce hit scratch
             ) = rest
             tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
@@ -280,6 +288,9 @@ def _make_render_kernel(
                     bx_scratch,
                     live=live_mask,
                     stream=stream_refs,
+                    fmx_scratch=fmx_scratch,
+                    cnt_cell=cnt_cell,
+                    hyab_ref=hyab_ref,
                 )
 
             if _b == 0:
@@ -434,6 +445,9 @@ def _make_render_kernel(
                         bx_scratch,
                         live=live_mask,
                         stream=stream_refs,
+                        fmx_scratch=fmx_scratch,
+                        cnt_cell=cnt_cell,
+                        hyab_ref=hyab_ref,
                     )
 
                 pl.when(jnp.any(live))(sh_traverse)
@@ -594,13 +608,14 @@ def _render_tiles(
     stream: bool = False,
     shadows: bool = False,
     atlas_mode: int = 0,
+    hyper: tuple[Array, ...] = (),  # 0 or 1 packed hypercluster AABB table
 ):
     if cam is None:
         n_tiles = rays6[0].shape[0]
     ROWS = rows
     kernel = _make_render_kernel(
         instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam,
-        stream, shadows, atlas_mode,
+        stream, shadows, atlas_mode, has_hyper=len(hyper) == 1,
     )
     on_tpu = jax.default_backend() == "tpu"
     interpret = (
@@ -628,6 +643,8 @@ def _render_tiles(
         pltpu.SMEM((c_total,), jnp.int32),
         pltpu.VMEM((8, 128), jnp.int32),  # OR-tree staging (or_tree)
         pltpu.SMEM((32 * 6,), jnp.float32),  # chunk box stash
+        pltpu.VMEM((8, 128), jnp.float32),  # max-tree staging (occl. skip)
+        pltpu.SMEM((1,), jnp.int32),  # survivor-count cell (super_body)
         pltpu.VMEM((11 * ROWS, 128), jnp.float32),
     ]
     if stream:
@@ -642,12 +659,13 @@ def _render_tiles(
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, n_out * ROWS, 128), jnp.float32
         ),
-        in_specs=ray_in[1] + [full, full, smem, full, full] + geo_specs,
+        in_specs=ray_in[1] + [full, full, smem, full, full]
+        + [full] * len(hyper) + geo_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
         interpret=interpret,
     )(
-        *ray_in[0], inst_rows, mat_rows, sun, scab, clab, *geo,
+        *ray_in[0], inst_rows, mat_rows, sun, scab, clab, *hyper, *geo,
     )
     fld3 = lambda k: big[:, k * ROWS : (k + 3) * ROWS, :]
     # result, miss_energy, miss_dir blocks (+ the raw deferred-texel blocks)
@@ -875,6 +893,9 @@ def render_fused(
         stream=stream,
         shadows=enable_shadows,
         atlas_mode=atlas_mode,
+        hyper=(
+            (clusters.hyper_aabb,) if clusters.hyper_aabb is not None else ()
+        ),
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
@@ -971,6 +992,9 @@ def render_fused_camera(
         stream=stream,
         shadows=enable_shadows,
         atlas_mode=atlas_mode,
+        hyper=(
+            (clusters.hyper_aabb,) if clusters.hyper_aabb is not None else ()
+        ),
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]

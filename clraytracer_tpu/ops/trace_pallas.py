@@ -56,7 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from clraytracer_tpu import math3d
-from clraytracer_tpu.ops.clusters import CLUSTER_SIZE, SUPER_SIZE
+from clraytracer_tpu.ops.clusters import CLUSTER_SIZE, HYPER_SIZE, SUPER_SIZE
 from clraytracer_tpu.ops.trace_ref import SceneHit, _instance_tables
 from clraytracer_tpu.scene.types import MISS_DISTANCE, Scene
 
@@ -64,6 +64,12 @@ from clraytracer_tpu.scene.types import MISS_DISTANCE, Scene
 #: flight during phase C (see the preflight comment in _emit_traversal).
 #: 8 slots = 32 KiB of VMEM staging.
 STREAM_PIPE = 8
+
+#: instances with more superclusters than this cull through the
+#: hypercluster level first (phase A0) — below it, direct phase A is at
+#: most ~2 chunks and the extra level only adds work. Tests lower it to
+#: exercise the hyper path on small scenes.
+HYPER_MIN_SUPERS = 64
 
 MAX_ROWS = 64  # sublane rows per tile: [64, 128] tiles measured fastest at
 # 1080p (38.6 ms/frame vs 41.9 @ 32 rows, 43.1 @ 128, 68 @ 8) — bigger tiles
@@ -127,6 +133,14 @@ def _emit_traversal(
     #   surviving cluster's 4 KiB geometry row-block into ``buf_ref``
     #   (prefetch j+1 while intersecting j) and reads scalars from the
     #   buffer instead of the resident tables.
+    fmx_scratch=None,  # VMEM [8, 128] f32 — max-tree staging for the
+    #   supercluster occlusion skip (the tile's max best-t must reach the
+    #   scalar unit)
+    cnt_cell=None,  # SMEM [1] i32 — survivor-count carry across the
+    #   pl.when-guarded supercluster body (a predicated block cannot
+    #   update a fori carry)
+    hyab_ref=None,  # optional [ceil(H/16), 128] f32 hypercluster AABBs
+    #   (phase A0; scenes/checkpoints without the table skip the level)
 ):
     """Emit the three-phase traversal over all instances into ``hit_ref``.
 
@@ -266,7 +280,16 @@ def _emit_traversal(
                     hit, _ = slab_hits(
                         scab_ref, ci * 32, sc0, k, bt_in, stash=bx_scratch
                     )
-                    bits = bits | jnp.where(hit, jnp.int32(BITS[k]), 0)
+                    # mask per-mesh hyper-padding supers by COUNT: their
+                    # inverted-empty boxes (+BIG/-BIG) pass the
+                    # conservative slab test (tnear -BIG <= tfar +BIG),
+                    # and extracting them overflows sc_scratch (sized to
+                    # the real count). Direct phase A unrolls exact widths
+                    # so the guard only bites on the hyper path.
+                    bitv = jnp.where(
+                        ci * 32 + k < sc_n, jnp.int32(BITS[k]), 0
+                    )
+                    bits = bits | jnp.where(hit, bitv, 0)
                 m = or_tree(bits)
                 cnt0 = cnt
 
@@ -293,16 +316,65 @@ def _emit_traversal(
                 jax.lax.fori_loop(cnt0, cnt, key_pass, jnp.int32(0))
                 return cnt
 
-            na = jnp.int32(0)
-            if sc_n > 32:
-                na = jax.lax.fori_loop(
-                    0,
-                    sc_n // 32,
-                    lambda ci, cnt: chunk_a(ci, cnt, 32),
-                    na,
-                )
-            if sc_n % 32:
-                na = chunk_a(jnp.int32(sc_n // 32), na, sc_n % 32)
+            use_hyper = hyab_ref is not None and sc_n > HYPER_MIN_SUPERS
+            if use_hyper:
+                # ---- phase A0: hypercluster culling (32 supers per box) --
+                # Same chunked bitmask form one level up: a surviving hyper
+                # IMMEDIATELY runs its 32-super chunk_a (via the SMEM count
+                # cell — predicated blocks cannot update a fori carry), a
+                # culled hyper skips 32 super slabs for one. Per-mesh super
+                # padding (ops/clusters.py) makes every hyper group exactly
+                # 32 wide; pad supers are inverted-empty and never survive.
+                assert sc0 % 32 == 0, "hyper path needs 32-aligned sc0"
+                hy0 = sc0 // 32
+                n_hyper = -(-sc_n // HYPER_SIZE)
+                cnt_cell[0] = jnp.int32(0)
+
+                def chunk_a_cell(h):
+                    cnt_cell[0] = chunk_a(h, cnt_cell[0], 32)
+
+                def hyper_chunk(ci, carry, width):
+                    bits = jnp.zeros((ROWS, 128), jnp.int32)
+                    for k in range(width):  # static unroll
+                        hit, _ = slab_hits(hyab_ref, ci * 32, hy0, k, bt_in)
+                        bits = bits | jnp.where(hit, jnp.int32(BITS[k]), 0)
+                    m = or_tree(bits)
+
+                    def hextract(k, carry):
+                        keep = ((m >> k) & 1) == 1
+                        pl.when(keep)(
+                            functools.partial(chunk_a_cell, ci * 32 + k)
+                        )
+                        return carry
+
+                    return jax.lax.fori_loop(0, width, hextract, carry)
+
+                if n_hyper > 32:
+                    jax.lax.fori_loop(
+                        0,
+                        n_hyper // 32,
+                        lambda ci, c: hyper_chunk(ci, c, 32),
+                        jnp.int32(0),
+                    )
+                if n_hyper % 32:
+                    hyper_chunk(
+                        jnp.int32(n_hyper // 32), jnp.int32(0), n_hyper % 32
+                    )
+                na = cnt_cell[0]
+            else:
+                na = jnp.int32(0)
+                if sc_n > 32:
+                    na = jax.lax.fori_loop(
+                        0,
+                        sc_n // 32,
+                        lambda ci, cnt: chunk_a(ci, cnt, 32),
+                        na,
+                    )
+                if sc_n % 32:
+                    na = chunk_a(jnp.int32(sc_n // 32), na, sc_n % 32)
+
+            if variant == "culla0":  # perf analysis: phase A, no sort
+                continue
 
             # ---- front-to-back: bubble-sort survivors by min-tnear --------
             # na is small (tris/1024); a flat na*(na) scalar compare-swap
@@ -515,8 +587,11 @@ def _emit_traversal(
 
                 return end
 
-            def super_pass(jj, cnt):
-                s = sc_scratch[jj]
+            def super_body(jj, s):
+                """Cluster cull + leaf batches of supercluster ``s``; reads
+                the survivor-count carry from ``cnt_cell`` (predicated
+                blocks cannot update a fori carry)."""
+                cnt = cnt_cell[0]
                 # cluster cull vs the RUNNING best-t (tightened by the
                 # superclusters already intersected in front of this one).
                 # Reads past a mesh's last cluster land on the next mesh's
@@ -549,8 +624,9 @@ def _emit_traversal(
                     return cnt + keep.astype(jnp.int32)
 
                 cnt = jax.lax.fori_loop(0, width_b, extract, cnt)
+                cnt_cell[0] = cnt
                 if variant == "cull":  # perf analysis: culling only
-                    return cnt
+                    return
                 if stream is not None:
                     # kick this supercluster's DMA pipeline: up to
                     # STREAM_PIPE-1 survivors' geometry starts loading
@@ -571,23 +647,47 @@ def _emit_traversal(
                 jax.lax.fori_loop(
                     cnt0, cnt, lambda j, end: phase_c(j, end, s), cnt
                 )
-                return cnt
 
-            nb = jax.lax.fori_loop(0, na, super_pass, jnp.int32(0))
+            def super_pass(jj, carry):
+                s = sc_scratch[jj]
+                # ---- occlusion skip: the survivors are walked in sorted
+                # min-tnear order, so once a supercluster's sort key (a
+                # lower bound on any hit inside it) is at or past the
+                # tile's max best-t, nothing inside it can win any lane —
+                # skip its 32 cluster slabs + extraction for one max-tree
+                # (amortizable: ~2/3 slab-test) + a scalar compare. On
+                # occluded interiors most of the sorted tail skips.
+                bt = out_ref[0:ROWS, :]
+                acc = bt[0:8, :]
+                for i in range(1, ROWS // 8):
+                    acc = jnp.maximum(acc, bt[8 * i : 8 * (i + 1), :])
+                acc = jnp.maximum(acc[0:4, :], acc[4:8, :])
+                acc = jnp.maximum(acc[0:2, :], acc[2:4, :])
+                acc = jnp.maximum(acc[0:1, :], acc[1:2, :])
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    acc = jnp.maximum(acc, pltpu.roll(acc, sh, 1))
+                fmx_scratch[0:1, :] = acc
+                pl.when(sk_scratch[jj] < fmx_scratch[0, 0])(
+                    functools.partial(super_body, jj, s)
+                )
+                return carry
+
+            cnt_cell[0] = jnp.int32(0)
+            jax.lax.fori_loop(0, na, super_pass, jnp.int32(0))
+            nb = cnt_cell[0]
 
             if variant == "cull":  # perf analysis: culling only
                 continue
 
             if defer:
                 # ---- deferred attribute resolution over winning clusters --
-                # Re-walk this instance's survivor list in chunks of 32; a
-                # cluster that won at least one lane interpolates its
-                # winners' attributes from the stored (u, v) — same
-                # expression tree as the inline path (w0*a0 + u*a1 + v*a2
-                # in that order), so the result is bit-identical. Losing
-                # clusters cost one vector compare + a 1/32nd share of an
+                # Pass 1 re-walks this instance's survivor list in chunks of
+                # 32 and COMPACTS the clusters that won at least one lane
+                # back into cl_scratch in place (the winner subsequence's
+                # write cursor never passes the read cursor). A losing
+                # cluster costs one vector compare + a 1/32nd share of an
                 # OR-tree instead of a full cross-lane any-reduce each.
-                def attr_chunk(ci, carry):
+                def attr_chunk(ci, wcnt):
                     btri = jax.lax.bitcast_convert_type(
                         out_ref[3 * ROWS : 4 * ROWS, :], jnp.int32
                     )
@@ -614,95 +714,134 @@ def _emit_traversal(
                         bits = bits | jnp.where(wc == cj, bitv, 0)
                     m = or_tree(bits)
 
-                    def attr_extract(k, carry):
+                    def extract(k, wcnt):
                         keep = ((m >> k) & 1) == 1
-                        pl.when(keep)(functools.partial(_resolve, ci, k, wc))
-                        return carry
+                        src = jnp.minimum(
+                            ci * 32 + k, cl_scratch.shape[0] - 1
+                        )
+                        cl_scratch[wcnt] = jnp.where(
+                            keep, cl_scratch[src], cl_scratch[wcnt]
+                        )
+                        return wcnt + keep.astype(jnp.int32)
 
-                    return jax.lax.fori_loop(0, 32, attr_extract, carry)
+                    return jax.lax.fori_loop(0, 32, extract, wcnt)
 
-                def _resolve(ci, k, wc):
-                    c = cl_scratch[
-                        jnp.minimum(ci * 32 + k, cl_scratch.shape[0] - 1)
-                    ]
+                nw = jax.lax.fori_loop(
+                    0, (nb + 31) // 32, attr_chunk, jnp.int32(0)
+                )
+
+                # Pass 2: resolve each winner. Streamed scenes re-fetch the
+                # winner's geometry block through the SAME STREAM_PIPE-deep
+                # DMA pipeline phase C uses (phase C's pipeline overwrote
+                # the staging buffer) — the serial start/wait-per-winner
+                # form this replaces left every fetch's full HBM latency
+                # exposed. Every started DMA is waited exactly once.
+                if stream is not None:
+                    for k in range(STREAM_PIPE - 1):
+
+                        @pl.when(k < nw)
+                        def _attr_preflight(k=k):
+                            _start_dma(
+                                cl_scratch[
+                                    jnp.minimum(k, cl_scratch.shape[0] - 1)
+                                ],
+                                jnp.int32(k),
+                            )
+
+                def _resolve(j, carry):
+                    c = cl_scratch[jnp.minimum(j, cl_scratch.shape[0] - 1)]
+                    dslot = jax.lax.rem(j, STREAM_PIPE)
+                    if stream is not None:
+
+                        @pl.when(j + STREAM_PIPE - 1 < nw)
+                        def _prefetch():
+                            nxt = jnp.minimum(
+                                j + STREAM_PIPE - 1, cl_scratch.shape[0] - 1
+                            )
+                            _start_dma(
+                                cl_scratch[nxt],
+                                jax.lax.rem(j + STREAM_PIPE - 1, STREAM_PIPE),
+                            )
+
+                        _wait_dma(c, dslot)
                     btri = jax.lax.bitcast_convert_type(
                         out_ref[3 * ROWS : 4 * ROWS, :], jnp.int32
                     )
+                    binst = jax.lax.bitcast_convert_type(
+                        out_ref[4 * ROWS : 5 * ROWS, :], jnp.int32
+                    )
+                    wc = jnp.where(
+                        (jnp.abs(out_ref[0:ROWS, :]) < _BIG)
+                        & (binst == jnp.int32(inst)),
+                        btri // CLUSTER_SIZE,
+                        -1,
+                    )
                     mine = wc == c
-                    if True:
-                        uu_ = out_ref[ROWS : 2 * ROWS, :]
-                        vv_ = out_ref[2 * ROWS : 3 * ROWS, :]
-                        w0 = 1.0 - uu_ - vv_
+                    uu_ = out_ref[ROWS : 2 * ROWS, :]
+                    vv_ = out_ref[2 * ROWS : 3 * ROWS, :]
+                    w0 = 1.0 - uu_ - vv_
+                    acc = (
+                        out_ref[5 * ROWS : 6 * ROWS, :],
+                        out_ref[6 * ROWS : 7 * ROWS, :],
+                        out_ref[7 * ROWS : 8 * ROWS, :],
+                        out_ref[8 * ROWS : 9 * ROWS, :],
+                        out_ref[9 * ROWS : 10 * ROWS, :],
+                        out_ref[10 * ROWS : 11 * ROWS, :],
+                    )
+                    if stream is None:
+                        tabs = (ta_ref, tb_ref, tc_ref,
+                                aa_ref, ab_ref, ac_ref, ad_ref)
+                        g = lambda t, col: tabs[t][c, col]
+                    else:
+                        g = lambda t, col: buf_ref[dslot * 8 + t, col]
+                    for k in range(CLUSTER_SIZE):
+                        ok = mine & (btri == c * CLUSTER_SIZE + k)
+                        n0x = g(3, k)
+                        n0y = g(3, 32 + k)
+                        n0z = g(3, 64 + k)
+                        n1x = g(3, 96 + k)
+                        n1y = g(4, k)
+                        n1z = g(4, 32 + k)
+                        n2x = g(4, 64 + k)
+                        n2y = g(4, 96 + k)
+                        n2z = g(5, k)
+                        uv0u = g(5, 32 + k)
+                        uv0v = g(5, 64 + k)
+                        uv1u = g(5, 96 + k)
+                        uv1v = g(6, k)
+                        uv2u = g(6, 32 + k)
+                        uv2v = g(6, 64 + k)
+                        matl = g(6, 96 + k)
+                        nx, ny, nz, uu2, vv2, mat = acc
                         acc = (
-                            out_ref[5 * ROWS : 6 * ROWS, :],
-                            out_ref[6 * ROWS : 7 * ROWS, :],
-                            out_ref[7 * ROWS : 8 * ROWS, :],
-                            out_ref[8 * ROWS : 9 * ROWS, :],
-                            out_ref[9 * ROWS : 10 * ROWS, :],
-                            out_ref[10 * ROWS : 11 * ROWS, :],
+                            jnp.where(
+                                ok, n0x * w0 + n1x * uu_ + n2x * vv_, nx
+                            ),
+                            jnp.where(
+                                ok, n0y * w0 + n1y * uu_ + n2y * vv_, ny
+                            ),
+                            jnp.where(
+                                ok, n0z * w0 + n1z * uu_ + n2z * vv_, nz
+                            ),
+                            jnp.where(
+                                ok,
+                                uv0u * w0 + uv1u * uu_ + uv2u * vv_,
+                                uu2,
+                            ),
+                            jnp.where(
+                                ok,
+                                uv0v * w0 + uv1v * uu_ + uv2v * vv_,
+                                vv2,
+                            ),
+                            jnp.where(ok, matl, mat),
                         )
-                        if stream is None:
-                            tabs = (ta_ref, tb_ref, tc_ref,
-                                    aa_ref, ab_ref, ac_ref, ad_ref)
-                            g = lambda t, col: tabs[t][c, col]
-                        else:
-                            # re-fetch this winner's geometry block (phase
-                            # C's pipeline overwrote the staging buffer);
-                            # start and wait inside the same predicated
-                            # block, so the semaphore stays balanced
-                            dma = _dma(c, jnp.int32(0))
-                            dma.start()
-                            dma.wait()
-                            g = lambda t, col: buf_ref[t, col]
-                        for k in range(CLUSTER_SIZE):
-                            ok = mine & (btri == c * CLUSTER_SIZE + k)
-                            n0x = g(3, k)
-                            n0y = g(3, 32 + k)
-                            n0z = g(3, 64 + k)
-                            n1x = g(3, 96 + k)
-                            n1y = g(4, k)
-                            n1z = g(4, 32 + k)
-                            n2x = g(4, 64 + k)
-                            n2y = g(4, 96 + k)
-                            n2z = g(5, k)
-                            uv0u = g(5, 32 + k)
-                            uv0v = g(5, 64 + k)
-                            uv1u = g(5, 96 + k)
-                            uv1v = g(6, k)
-                            uv2u = g(6, 32 + k)
-                            uv2v = g(6, 64 + k)
-                            matl = g(6, 96 + k)
-                            nx, ny, nz, uu2, vv2, mat = acc
-                            acc = (
-                                jnp.where(
-                                    ok, n0x * w0 + n1x * uu_ + n2x * vv_, nx
-                                ),
-                                jnp.where(
-                                    ok, n0y * w0 + n1y * uu_ + n2y * vv_, ny
-                                ),
-                                jnp.where(
-                                    ok, n0z * w0 + n1z * uu_ + n2z * vv_, nz
-                                ),
-                                jnp.where(
-                                    ok,
-                                    uv0u * w0 + uv1u * uu_ + uv2u * vv_,
-                                    uu2,
-                                ),
-                                jnp.where(
-                                    ok,
-                                    uv0v * w0 + uv1v * uu_ + uv2v * vv_,
-                                    vv2,
-                                ),
-                                jnp.where(ok, matl, mat),
-                            )
-                        for fk, val in enumerate(acc):
-                            out_ref[
-                                (5 + fk) * ROWS : (6 + fk) * ROWS, :
-                            ] = val
+                    for fk, val in enumerate(acc):
+                        out_ref[
+                            (5 + fk) * ROWS : (6 + fk) * ROWS, :
+                        ] = val
+                    return carry
 
-                jax.lax.fori_loop(
-                    0, (nb + 31) // 32, attr_chunk, jnp.int32(0)
-                )
+                jax.lax.fori_loop(0, nw, _resolve, jnp.int32(0))
 
 
 def _make_kernel(
@@ -711,6 +850,7 @@ def _make_kernel(
     variant: str = "full",
     stream: bool = False,
     has_live: bool = False,
+    has_hyper: bool = False,
 ):
     """Builds the hit-record kernel body for a static per-instance range
     list (supercluster start/count, cluster start/count per instance).
@@ -733,15 +873,20 @@ def _make_kernel(
         ray_refs = refs[:n_ray_in]
         (inv_ref, scab_ref, clab_ref) = refs[n_ray_in : n_ray_in + 3]
         refs = refs[n_ray_in + 3 :]
+        if has_hyper:
+            hyab_ref, refs = refs[0], refs[1:]
+        else:
+            hyab_ref = None
         if stream:
             (geo_ref, out_ref, sc_scratch, sk_scratch, cl_scratch,
-             bits_scratch, bx_scratch, buf_ref, sem_ref) = refs
+             bits_scratch, bx_scratch, fmx_scratch, cnt_cell,
+             buf_ref, sem_ref) = refs
             tables = (None,) * 7
             stream_refs = (geo_ref, buf_ref, sem_ref)
         else:
             (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref,
              out_ref, sc_scratch, sk_scratch, cl_scratch,
-             bits_scratch, bx_scratch) = refs
+             bits_scratch, bx_scratch, fmx_scratch, cnt_cell) = refs
             tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
             stream_refs = None
         rays = tuple(r[...] for r in ray_refs[:6])
@@ -752,6 +897,9 @@ def _make_kernel(
             sc_scratch, sk_scratch, cl_scratch, bits_scratch, bx_scratch,
             live=live,
             stream=stream_refs,
+            fmx_scratch=fmx_scratch,
+            cnt_cell=cnt_cell,
+            hyab_ref=hyab_ref,
         )
 
     return kernel
@@ -772,12 +920,14 @@ def _trace_tiles(
     rows: int = MAX_ROWS,
     variant: str = "full",
     stream: bool = False,
+    hyper: tuple[Array, ...] = (),  # 0 or 1 packed hypercluster AABB table
 ):
     n_tiles = rays6[0].shape[0]
     n_ray_in = len(rays6)
     ROWS = rows
     kernel = _make_kernel(
-        instance_ranges, rows, variant, stream, has_live=n_ray_in == 7
+        instance_ranges, rows, variant, stream, has_live=n_ray_in == 7,
+        has_hyper=len(hyper) == 1,
     )
     # tests and the golden path run on CPU: interpret the kernel there
     # (the streamed variant uses DMA semantics → TPU-interpret mode)
@@ -809,6 +959,8 @@ def _trace_tiles(
         pltpu.SMEM((c_total,), jnp.int32),
         pltpu.VMEM((8, 128), jnp.int32),  # OR-tree staging (or_tree)
         pltpu.SMEM((32 * 6,), jnp.float32),  # chunk box stash
+        pltpu.VMEM((8, 128), jnp.float32),  # max-tree staging (occl. skip)
+        pltpu.SMEM((1,), jnp.int32),  # survivor-count cell (super_body)
     ]
     if stream:
         scratch += [
@@ -822,11 +974,12 @@ def _trace_tiles(
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, 11 * ROWS, 128), jnp.float32
         ),
-        in_specs=[tile_spec] * n_ray_in + [full] * 3 + geo_specs,
+        in_specs=[tile_spec] * n_ray_in + [full] * (3 + len(hyper))
+        + geo_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*rays6, inv, scab, clab, *geo)
+    )(*rays6, inv, scab, clab, *hyper, *geo)
 
     fld = lambda k: big[:, k * ROWS:(k + 1) * ROWS, :]
     as_i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -928,6 +1081,9 @@ def trace_pallas(
         rows=ROWS,
         variant=variant,
         stream=stream,
+        hyper=(
+            (clusters.hyper_aabb,) if clusters.hyper_aabb is not None else ()
+        ),
     )
 
     def untile(x: Array) -> Array:

@@ -473,6 +473,7 @@ class SceneBuilder:
             tri_gid=jnp.asarray(ct.tri_gid),
             cluster_aabb=jnp.asarray(pad8(ct.cluster_min, ct.cluster_max)),
             super_aabb=jnp.asarray(pad8(ct.super_min, ct.super_max)),
+            hyper_aabb=jnp.asarray(pad8(ct.hyper_min, ct.hyper_max)),
             mesh_ranges=ct.mesh_ranges,
         )
         procedural = tuple(

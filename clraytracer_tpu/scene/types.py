@@ -174,14 +174,21 @@ class Clusters:
     #: +8) of row i//16: min xyz | max xyz | 2 pad) — a [N, 8] layout
     #: would be lane-padded 16x by TPU (8, 128) tiling
     cluster_aabb: Array  # [ceil(C/16), 128] f32
-    super_aabb: Array  # [ceil(S/16), 128] f32
+    super_aabb: Array  # [ceil(S/16), 128] f32 (S per-mesh padded to a
+    #   multiple of 32 — ops/clusters.py HYPER_SIZE)
     #: [8C, 128] f32 HBM-streaming copy of the 7 geometry tables, packed 8
     #: rows per cluster (tri_a|tri_b|tri_c|at_a..at_d|pad) so one cluster is
     #: one contiguous, tile-aligned 4 KiB DMA. Built only for scenes whose
     #: tables exceed the Pallas VMEM budget (scene/builder.py); None keeps
     #: small scenes free of the duplicate.
     geo_stream: Array | None = None
-    #: per-mesh (super_start, super_count, cluster_start, cluster_count)
+    #: hypercluster AABBs (32 superclusters each), same 16-per-row packing.
+    #: None on scenes/checkpoints built before the phase-A0 culling level —
+    #: the tracer then runs phase A directly over superclusters.
+    hyper_aabb: Array | None = None
+    #: per-mesh (super_start, super_count, cluster_start, cluster_count);
+    #: super_start is a multiple of 32 (per-mesh hyper padding),
+    #: super_count is the real (unpadded) count
     mesh_ranges: tuple[tuple[int, int, int, int], ...] = static_field(default=())
 
 

@@ -194,6 +194,25 @@ def test_pallas_matches_brute_two_instances(two_instance_scene):
     assert_hits_match(hb, hp)
 
 
+def test_pallas_hyper_level_matches_direct(sphere_scene, monkeypatch):
+    """Phase A0 (hypercluster culling) must be invisible in results: the
+    same hits as direct supercluster culling. Exercised by lowering the
+    size threshold so the small test scene takes the hyper path — this
+    also pins the pad-super masking (inverted-empty padding boxes PASS
+    the conservative slab test and must be masked by count, or they
+    overflow the survivor scratch)."""
+    from clraytracer_tpu.ops import trace_pallas as tp
+
+    assert sphere_scene.clusters.hyper_aabb is not None
+    _, o, d = _camera_rays(32, 24)
+    hd = tp.trace_pallas(sphere_scene, o, d)
+    monkeypatch.setattr(tp, "HYPER_MIN_SUPERS", 0)
+    tp._trace_tiles._clear_cache()
+    hh = tp.trace_pallas(sphere_scene, o, d)
+    tp._trace_tiles._clear_cache()
+    assert_hits_match(hd, hh)
+
+
 def test_pallas_inline_attrs_match_gather(sphere_scene):
     """The kernel's in-VMEM attribute interpolation must equal the XLA
     gather path: w0*a0 + u*a1 + v*a2 over the tri_attr table rows."""

@@ -551,6 +551,7 @@ def main() -> None:
         "trace_geom": trace_variant("geom"),
         "trace_cull": trace_variant("cull"),
         "trace_culla": trace_variant("culla"),
+        "trace_culla0": trace_variant("culla0"),
         "texel_rgb4": texel_rgb4,
         "texel_extpad": texel_extpad,
         "trace_all": trace_all,
