@@ -188,8 +188,8 @@ def _make_render_kernel(
         if stream:
             geo_ref = rest[0]  # [8C, 128] ANY (HBM) — see Clusters.geo_stream
             (out_ref, sc_scratch, sk_scratch, cl_scratch, bits_scratch,
-             bx_scratch, fmx_scratch, cnt_cell, hs_ref,
-             buf_ref, sem_ref) = rest[1:]
+             bx_scratch, fmx_scratch, cnt_cell, hy_scratch, hk_scratch,
+             hs_ref, buf_ref, sem_ref) = rest[1:]
             tables = (None,) * 7
             stream_refs = (geo_ref, buf_ref, sem_ref)
         else:
@@ -209,6 +209,8 @@ def _make_render_kernel(
                 bx_scratch,  # SMEM [32*6] f32 chunk box stash
                 fmx_scratch,  # VMEM [8, 128] f32 max-tree staging
                 cnt_cell,  # SMEM [1] i32 survivor-count cell
+                hy_scratch,  # SMEM [H_max] i32 surviving-hyper list
+                hk_scratch,  # SMEM [H_max] f32 hyper sort keys
                 hs_ref,  # VMEM [11*ROWS, 128] per-bounce hit scratch
             ) = rest
             tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
@@ -291,6 +293,8 @@ def _make_render_kernel(
                     fmx_scratch=fmx_scratch,
                     cnt_cell=cnt_cell,
                     hyab_ref=hyab_ref,
+                    hy_scratch=hy_scratch,
+                    hk_scratch=hk_scratch,
                 )
 
             if _b == 0:
@@ -448,6 +452,8 @@ def _make_render_kernel(
                         fmx_scratch=fmx_scratch,
                         cnt_cell=cnt_cell,
                         hyab_ref=hyab_ref,
+                        hy_scratch=hy_scratch,
+                        hk_scratch=hk_scratch,
                     )
 
                 pl.when(jnp.any(live))(sh_traverse)
@@ -637,6 +643,7 @@ def _render_tiles(
     # packed AABB tables hold 16 boxes per row, so their shapes undercount)
     s_total = max(max(r[0] + r[1] for r in instance_ranges), 2)
     c_total = max(max(r[2] + r[3] for r in instance_ranges), 2)
+    h_total = max(max(-(-r[1] // 32) for r in instance_ranges), 2)
     scratch = [
         pltpu.SMEM((s_total,), jnp.int32),
         pltpu.SMEM((s_total,), jnp.float32),
@@ -645,6 +652,8 @@ def _render_tiles(
         pltpu.SMEM((32 * 6,), jnp.float32),  # chunk box stash
         pltpu.VMEM((8, 128), jnp.float32),  # max-tree staging (occl. skip)
         pltpu.SMEM((1,), jnp.int32),  # survivor-count cell (super_body)
+        pltpu.SMEM((h_total,), jnp.int32),  # surviving-hyper list (A0)
+        pltpu.SMEM((h_total,), jnp.float32),  # hyper sort keys (A0)
         pltpu.VMEM((11 * ROWS, 128), jnp.float32),
     ]
     if stream:

@@ -71,6 +71,11 @@ STREAM_PIPE = 8
 #: exercise the hyper path on small scenes.
 HYPER_MIN_SUPERS = 64
 
+#: instances with more superclusters than this skip the exact O(na^2)
+#: supercluster sort and rely on the hyper-granularity front-to-back
+#: order alone (see the sort comment in _emit_traversal)
+HYPER_SORT_MIN_SUPERS = 512
+
 MAX_ROWS = 64  # sublane rows per tile: [64, 128] tiles measured fastest at
 # 1080p (38.6 ms/frame vs 41.9 @ 32 rows, 43.1 @ 128, 68 @ 8) — bigger tiles
 # amortize the kernel's scalar-unit work (25 scalar loads per tested
@@ -141,6 +146,8 @@ def _emit_traversal(
     #   update a fori carry)
     hyab_ref=None,  # optional [ceil(H/16), 128] f32 hypercluster AABBs
     #   (phase A0; scenes/checkpoints without the table skip the level)
+    hy_scratch=None,  # SMEM [H_max] i32 — surviving-hyper list (phase A0)
+    hk_scratch=None,  # SMEM [H_max] f32 — hyper min-tnear sort keys
 ):
     """Emit the three-phase traversal over all instances into ``hit_ref``.
 
@@ -319,48 +326,99 @@ def _emit_traversal(
             use_hyper = hyab_ref is not None and sc_n > HYPER_MIN_SUPERS
             if use_hyper:
                 # ---- phase A0: hypercluster culling (32 supers per box) --
-                # Same chunked bitmask form one level up: a surviving hyper
-                # IMMEDIATELY runs its 32-super chunk_a (via the SMEM count
-                # cell — predicated blocks cannot update a fori carry), a
-                # culled hyper skips 32 super slabs for one. Per-mesh super
-                # padding (ops/clusters.py) makes every hyper group exactly
-                # 32 wide; pad supers are inverted-empty and never survive.
+                # Same chunked bitmask form one level up: surviving hypers
+                # are extracted WITH min-tnear keys, bubble-sorted (nh is
+                # ~na/32, so this replaces the O(na^2) supercluster sort —
+                # measured 8.6 ms/trace on the 1M-tri scene), then each
+                # hyper in front-to-back order runs its 32-super chunk_a
+                # via the SMEM count cell (predicated blocks cannot update
+                # a fori carry). Supers then emerge hyper-ordered; within
+                # a 32-super group they keep index order, which is spatial
+                # (BVH leaf order) — the per-super occlusion skip below
+                # stays exact either way (its key is a valid lower bound
+                # independent of processing order). Per-mesh super padding
+                # (ops/clusters.py) makes every hyper group exactly 32
+                # wide; pad supers are masked by count in chunk_a.
                 assert sc0 % 32 == 0, "hyper path needs 32-aligned sc0"
                 hy0 = sc0 // 32
                 n_hyper = -(-sc_n // HYPER_SIZE)
-                cnt_cell[0] = jnp.int32(0)
 
-                def chunk_a_cell(h):
-                    cnt_cell[0] = chunk_a(h, cnt_cell[0], 32)
-
-                def hyper_chunk(ci, carry, width):
+                def hyper_chunk(ci, cnt, width):
                     bits = jnp.zeros((ROWS, 128), jnp.int32)
                     for k in range(width):  # static unroll
-                        hit, _ = slab_hits(hyab_ref, ci * 32, hy0, k, bt_in)
+                        hit, _ = slab_hits(
+                            hyab_ref, ci * 32, hy0, k, bt_in,
+                            stash=bx_scratch,
+                        )
                         bits = bits | jnp.where(hit, jnp.int32(BITS[k]), 0)
                     m = or_tree(bits)
+                    cnt0 = cnt
 
-                    def hextract(k, carry):
+                    def hextract(k, cnt):
                         keep = ((m >> k) & 1) == 1
-                        pl.when(keep)(
-                            functools.partial(chunk_a_cell, ci * 32 + k)
+                        slot = jnp.minimum(cnt, hy_scratch.shape[0] - 1)
+                        hy_scratch[slot] = jnp.where(
+                            keep, ci * 32 + k, hy_scratch[slot]
                         )
-                        return carry
+                        return cnt + keep.astype(jnp.int32)
 
-                    return jax.lax.fori_loop(0, width, hextract, carry)
+                    cnt = jax.lax.fori_loop(0, width, hextract, cnt)
 
+                    def hkey_pass(i, _):
+                        hit, tnear = slab_hits_stash(
+                            bx_scratch, hy_scratch[i] - ci * 32, bt_in
+                        )
+                        hk_scratch[i] = jnp.min(jnp.where(hit, tnear, _BIG))
+                        return _
+
+                    jax.lax.fori_loop(cnt0, cnt, hkey_pass, jnp.int32(0))
+                    return cnt
+
+                nh = jnp.int32(0)
                 if n_hyper > 32:
-                    jax.lax.fori_loop(
+                    nh = jax.lax.fori_loop(
                         0,
                         n_hyper // 32,
-                        lambda ci, c: hyper_chunk(ci, c, 32),
-                        jnp.int32(0),
+                        lambda ci, cnt: hyper_chunk(ci, cnt, 32),
+                        nh,
                     )
                 if n_hyper % 32:
-                    hyper_chunk(
-                        jnp.int32(n_hyper // 32), jnp.int32(0), n_hyper % 32
+                    nh = hyper_chunk(
+                        jnp.int32(n_hyper // 32), nh, n_hyper % 32
                     )
-                na = cnt_cell[0]
+
+                # bubble-sort the surviving hypers by min-tnear
+                hstride = jnp.maximum(nh - 1, 1)
+
+                def hsort_pass(j, _):
+                    i = j % hstride
+                    k_i, k_j = hk_scratch[i], hk_scratch[i + 1]
+                    s_i, s_j = hy_scratch[i], hy_scratch[i + 1]
+                    swap = (k_j < k_i) & (i + 1 < nh)
+                    hk_scratch[i] = jnp.where(swap, k_j, k_i)
+                    hk_scratch[i + 1] = jnp.where(swap, k_i, k_j)
+                    hy_scratch[i] = jnp.where(swap, s_j, s_i)
+                    hy_scratch[i + 1] = jnp.where(swap, s_i, s_j)
+                    return _
+
+                jax.lax.fori_loop(0, nh * hstride, hsort_pass, jnp.int32(0))
+
+                if variant == "culla0":  # perf analysis: culling level only
+                    continue
+
+                # walk sorted hypers; each runs its 32-super chunk_a, so
+                # supers reach the per-super occlusion skip below in
+                # (approximate) front-to-back order. No occlusion skip at
+                # THIS level: phase C hasn't run for this instance yet, so
+                # best-t is still the previous instances' — the per-super
+                # skip (which runs interleaved with phase C) is where
+                # occlusion bites.
+                na = jax.lax.fori_loop(
+                    0,
+                    nh,
+                    lambda jj, cnt: chunk_a(hy_scratch[jj], cnt, 32),
+                    jnp.int32(0),
+                )
             else:
                 na = jnp.int32(0)
                 if sc_n > 32:
@@ -373,30 +431,36 @@ def _emit_traversal(
                 if sc_n % 32:
                     na = chunk_a(jnp.int32(sc_n // 32), na, sc_n % 32)
 
-            if variant == "culla0":  # perf analysis: phase A, no sort
-                continue
+                if variant == "culla0":  # perf analysis: phase A, no sort
+                    continue
 
-            # ---- front-to-back: bubble-sort survivors by min-tnear --------
-            # na is small (tris/1024); a flat na*(na) scalar compare-swap
-            # pass in SMEM is cheap and gives phase C's occlusion skip its
-            # bite: near superclusters set best_t before far ones are
-            # rechecked. (Nested traced-bound fori crashes Mosaic; the
-            # bubble is one flat loop with j % stride index math.)
-            stride = jnp.maximum(na - 1, 1)
+            if not use_hyper or sc_n <= HYPER_SORT_MIN_SUPERS:
+                # ---- front-to-back: bubble-sort survivors by min-tnear ----
+                # A flat na*(na) scalar compare-swap pass in SMEM; the exact
+                # order gives phase C's occlusion skip its bite: near
+                # superclusters set best_t before far ones are rechecked.
+                # (Nested traced-bound fori crashes Mosaic; the bubble is
+                # one flat loop with j % stride index math.) Past
+                # HYPER_SORT_MIN_SUPERS the O(na^2) cost outgrows the
+                # B/C savings (8.6 ms/trace on the 1M-tri scene) and the
+                # hyper-granularity order above stands alone — measured:
+                # museum (150-super meshes) NEEDS the exact sort (82 vs
+                # 66 Mrays/s), the 33k-cluster sphere must skip it.
+                stride = jnp.maximum(na - 1, 1)
 
-            def sort_pass(j, _):
-                i = j % stride
-                k_i, k_j = sk_scratch[i], sk_scratch[i + 1]
-                s_i, s_j = sc_scratch[i], sc_scratch[i + 1]
-                # never swap a stale entry beyond the survivor count in
-                swap = (k_j < k_i) & (i + 1 < na)
-                sk_scratch[i] = jnp.where(swap, k_j, k_i)
-                sk_scratch[i + 1] = jnp.where(swap, k_i, k_j)
-                sc_scratch[i] = jnp.where(swap, s_j, s_i)
-                sc_scratch[i + 1] = jnp.where(swap, s_i, s_j)
-                return _
+                def sort_pass(j, _):
+                    i = j % stride
+                    k_i, k_j = sk_scratch[i], sk_scratch[i + 1]
+                    s_i, s_j = sc_scratch[i], sc_scratch[i + 1]
+                    # never swap a stale entry beyond the survivor count in
+                    swap = (k_j < k_i) & (i + 1 < na)
+                    sk_scratch[i] = jnp.where(swap, k_j, k_i)
+                    sk_scratch[i + 1] = jnp.where(swap, k_i, k_j)
+                    sc_scratch[i] = jnp.where(swap, s_j, s_i)
+                    sc_scratch[i + 1] = jnp.where(swap, s_i, s_j)
+                    return _
 
-            jax.lax.fori_loop(0, na * stride, sort_pass, jnp.int32(0))
+                jax.lax.fori_loop(0, na * stride, sort_pass, jnp.int32(0))
 
             if variant == "culla":  # perf analysis: phase A + sort only
                 continue
@@ -880,13 +944,14 @@ def _make_kernel(
         if stream:
             (geo_ref, out_ref, sc_scratch, sk_scratch, cl_scratch,
              bits_scratch, bx_scratch, fmx_scratch, cnt_cell,
-             buf_ref, sem_ref) = refs
+             hy_scratch, hk_scratch, buf_ref, sem_ref) = refs
             tables = (None,) * 7
             stream_refs = (geo_ref, buf_ref, sem_ref)
         else:
             (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref,
              out_ref, sc_scratch, sk_scratch, cl_scratch,
-             bits_scratch, bx_scratch, fmx_scratch, cnt_cell) = refs
+             bits_scratch, bx_scratch, fmx_scratch, cnt_cell,
+             hy_scratch, hk_scratch) = refs
             tables = (ta_ref, tb_ref, tc_ref, aa_ref, ab_ref, ac_ref, ad_ref)
             stream_refs = None
         rays = tuple(r[...] for r in ray_refs[:6])
@@ -900,6 +965,8 @@ def _make_kernel(
             fmx_scratch=fmx_scratch,
             cnt_cell=cnt_cell,
             hyab_ref=hyab_ref,
+            hy_scratch=hy_scratch,
+            hk_scratch=hk_scratch,
         )
 
     return kernel
@@ -953,6 +1020,7 @@ def _trace_tiles(
     # packed AABB tables hold 16 boxes per row, so their shapes undercount)
     s_total = max(max(r[0] + r[1] for r in instance_ranges), 2)
     c_total = max(max(r[2] + r[3] for r in instance_ranges), 2)
+    h_total = max(max(-(-r[1] // 32) for r in instance_ranges), 2)
     scratch = [
         pltpu.SMEM((s_total,), jnp.int32),
         pltpu.SMEM((s_total,), jnp.float32),
@@ -961,6 +1029,8 @@ def _trace_tiles(
         pltpu.SMEM((32 * 6,), jnp.float32),  # chunk box stash
         pltpu.VMEM((8, 128), jnp.float32),  # max-tree staging (occl. skip)
         pltpu.SMEM((1,), jnp.int32),  # survivor-count cell (super_body)
+        pltpu.SMEM((h_total,), jnp.int32),  # surviving-hyper list (A0)
+        pltpu.SMEM((h_total,), jnp.float32),  # hyper sort keys (A0)
     ]
     if stream:
         scratch += [
