@@ -73,24 +73,24 @@ FUSED_ROWS = 32
 #: tile height for HBM-STREAMED scenes with moderate cluster counts: the
 #: DMA pipeline + per-cluster scalar work amortize over more rays per tile
 #: (museum/5.3k clusters at 1080p: r8 229 / r16 139 / r32 102 / r64 94 ms).
-#: CLUSTER-DENSE streamed scenes invert (1M-tri sphere/33k clusters:
-#: r32 140 / r64 188 ms — a bigger tile's ray-frustum union survives
-#: culling against far more clusters, and that survivor work dominates the
-#: per-tile fixed cost the bigger tile amortizes), as do VMEM-resident
-#: scenes (less vreg spill in shading at 32). ``_fused_rows_default``
-#: picks per scene.
+#: CLUSTER-DENSE streamed scenes invert hard (1M-tri sphere/33k clusters
+#: after the hypercluster level + occlusion skip removed the per-tile
+#: fixed costs: r8 90 / r16 77 / r32 96 ms — a smaller tile's tighter ray
+#: frustum survives culling against far fewer clusters, and that survivor
+#: work dominates), as do VMEM-resident scenes mildly (r32: less vreg
+#: spill in shading). ``_fused_rows_default`` picks per scene.
 FUSED_ROWS_STREAM = 64
 
-#: streamed scenes with more clusters than this use FUSED_ROWS instead
+#: streamed scenes with more clusters than this use the 16-row tile
 FUSED_ROWS_STREAM_MAX_CLUSTERS = 8192
+FUSED_ROWS_STREAM_DENSE = 16
 
 
 def _fused_rows_default(clusters) -> int:
-    if (
-        _table_bytes(clusters) > _tp.VMEM_TABLE_BUDGET
-        and clusters.tri_a.shape[0] <= FUSED_ROWS_STREAM_MAX_CLUSTERS
-    ):
-        return FUSED_ROWS_STREAM
+    if _table_bytes(clusters) > _tp.VMEM_TABLE_BUDGET:
+        if clusters.tri_a.shape[0] <= FUSED_ROWS_STREAM_MAX_CLUSTERS:
+            return FUSED_ROWS_STREAM
+        return FUSED_ROWS_STREAM_DENSE
     return FUSED_ROWS
 
 _U8 = 1.0 / 255.0
