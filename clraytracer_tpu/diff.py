@@ -43,14 +43,27 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
     """Wrap a tracer so its hit records are differentiable w.r.t. scene
     geometry and instance transforms."""
 
-    def traced(scene: Scene, origin: Array, direction: Array) -> SceneHit:
-        """``origin``/``direction``: planar [3, ...]."""
+    def traced(
+        scene: Scene, origin: Array, direction: Array, live: Array | None = None
+    ) -> SceneHit:
+        """``origin``/``direction``: planar [3, ...]. ``live`` is forwarded
+        to tracers with in-kernel dead-lane culling (trace_pallas) so
+        bounce >= 2 pays only its surviving rays' traversal."""
         # discrete structure: no gradients through the traversal itself
+        import inspect
+
+        kw = {}
+        if (
+            live is not None
+            and "live" in inspect.signature(base_tracer).parameters
+        ):
+            kw["live"] = jax.lax.stop_gradient(live)
         hit = jax.lax.stop_gradient(
             base_tracer(
                 jax.lax.stop_gradient(scene),
                 jax.lax.stop_gradient(origin),
                 jax.lax.stop_gradient(direction),
+                **kw,
             )
         )
         tri = hit.tri
@@ -116,6 +129,13 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
             attr_mat=rows[24],
         )
 
+    import inspect
+
+    # advertise dead-lane culling to render.bounce_loop when the base
+    # tracer supports it
+    traced.supports_live = (
+        "live" in inspect.signature(base_tracer).parameters
+    )
     return traced
 
 

@@ -163,8 +163,12 @@ def bounce_loop(
         # whose rays terminated fail every slab/accept test there, so a
         # mostly-sky bounce costs only its surviving rays' geometry
         # (``b is None`` = scan body: bounce 0's all-True mask is passed
-        # too, keeping one traced kernel for every bounce)
-        if tracer is trace_pallas and (b is None or b > 0):
+        # too, keeping one traced kernel for every bounce). Wrappers
+        # (diff.make_differentiable_tracer) advertise via supports_live.
+        live_ok = tracer is trace_pallas or getattr(
+            tracer, "supports_live", False
+        )
+        if live_ok and (b is None or b > 0):
             hit = tracer(scene, state.origin, state.direction,
                          live=state.alive)
         else:
