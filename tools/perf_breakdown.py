@@ -517,12 +517,13 @@ def main() -> None:
         )
         return acc * 0.5 + jnp.sum(img) * 1e-6
 
-    def trace_rows(rows):
+    def trace_rows(rows, variant="full"):
         """trace_pallas with an explicit kernel tile height (culling
         locality vs scalar-amortization sweep on cluster-dense scenes)."""
         def fn(acc):
             hit = trace_pallas(
-                scene, origin0 + acc * 1e-20, dirs0, rows=rows
+                scene, origin0 + acc * 1e-20, dirs0, rows=rows,
+                variant=variant,
             )
             leaves = [hit.t, hit.u, hit.v, hit.attr_uu]
             return acc * 0.5 + sum(jnp.sum(l) for l in leaves) * 1e-6
@@ -534,6 +535,9 @@ def main() -> None:
         "trace_r16": trace_rows(16),
         "trace_r32": trace_rows(32),
         "trace_r64": trace_rows(64),
+        "trace_r16_cull": trace_rows(16, "cull"),
+        "trace_r16_geom": trace_rows(16, "geom"),
+        "trace_r16_noattr": trace_rows(16, "noattr"),
         "raygen": raygen,
         "tshade_bar": tshade_bar,
         "gather_coh": gather_coh,
