@@ -160,6 +160,7 @@ def _make_render_kernel(
 
     Both emit -1/-2 sentinels for miss-now/dead lanes (sky rides the
     combined gather; dead lanes pin to row 0)."""
+    from clraytracer_tpu.ops.shade import _OFF_SHIFT
     from clraytracer_tpu.scene.procedural_tex import _eval
 
     ROWS = rows
@@ -208,7 +209,7 @@ def _make_render_kernel(
                 bits_scratch,  # VMEM [8, 128] i32 OR-tree staging
                 bx_scratch,  # SMEM [32*6] f32 chunk box stash
                 fmx_scratch,  # VMEM [8, 128] f32 max-tree staging
-                cnt_cell,  # SMEM [1] i32 survivor-count cell
+                cnt_cell,  # SMEM [2] i32 survivor-count + max-dirty
                 hy_scratch,  # SMEM [H_max] i32 surviving-hyper list
                 hk_scratch,  # SMEM [H_max] f32 hyper sort keys
                 hs_ref,  # VMEM [11*ROWS, 128] per-bounce hit scratch
@@ -395,7 +396,7 @@ def _make_render_kernel(
                 ui = (uw * aw).astype(jnp.int32)
                 vi = (vw * ah).astype(jnp.int32)
                 off_i = ahi.astype(jnp.int32) * jnp.int32(
-                    1 << 12  # shade._OFF_SHIFT
+                    1 << _OFF_SHIFT
                 ) + alo.astype(jnp.int32)
                 tex_idx = vi * aw.astype(jnp.int32) + ui + off_i
                 color = None
@@ -619,6 +620,11 @@ def _render_tiles(
     if cam is None:
         n_tiles = rays6[0].shape[0]
     ROWS = rows
+    if atlas_mode == 2:
+        # deferred-material mode reads NO material data in-kernel; a full
+        # [M, 16] VMEM input would be lane-padded 128x (~512 B/material) —
+        # the whole point of mode 2 is supporting large material counts
+        mat_rows = mat_rows[:1]
     kernel = _make_render_kernel(
         instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam,
         stream, shadows, atlas_mode, has_hyper=len(hyper) == 1,
@@ -651,7 +657,7 @@ def _render_tiles(
         pltpu.VMEM((8, 128), jnp.int32),  # OR-tree staging (or_tree)
         pltpu.SMEM((32 * 6,), jnp.float32),  # chunk box stash
         pltpu.VMEM((8, 128), jnp.float32),  # max-tree staging (occl. skip)
-        pltpu.SMEM((1,), jnp.int32),  # survivor-count cell (super_body)
+        pltpu.SMEM((2,), jnp.int32),  # survivor-count + max-dirty cells
         pltpu.SMEM((h_total,), jnp.int32),  # surviving-hyper list (A0)
         pltpu.SMEM((h_total,), jnp.float32),  # hyper sort keys (A0)
         pltpu.VMEM((11 * ROWS, 128), jnp.float32),
@@ -734,6 +740,7 @@ def _finish_frame(
     path gathers, so results agree to float precision."""
     from clraytracer_tpu.ops.gather import onehot_rows, take_rgb
     from clraytracer_tpu.ops.shade import (
+        _OFF_SHIFT,
         _eval_skybox_inline,
         _skybox_index,
     )
@@ -770,9 +777,9 @@ def _finish_frame(
                 pk.mat_rows, mid_all.astype(jnp.int32)
             )  # [16, B, rows, 128]
             aw, ah = mat[8], mat[9]
-            off_i = mat[10].astype(jnp.int32) * (1 << 12) + mat[11].astype(
-                jnp.int32
-            )  # shade._OFF_SHIFT hi/lo split
+            off_i = mat[10].astype(jnp.int32) * (
+                1 << _OFF_SHIFT
+            ) + mat[11].astype(jnp.int32)  # hi/lo split (ops/shade.py)
             uu = jnp.stack([ex[6 * b + 1] for b in range(bounces)])
             vv = jnp.stack([ex[6 * b + 2] for b in range(bounces)])
             # shade._pool_index, op for op (wrap + truncating scale)

@@ -76,6 +76,12 @@ HYPER_MIN_SUPERS = 64
 #: order alone (see the sort comment in _emit_traversal)
 HYPER_SORT_MIN_SUPERS = 512
 
+# The 32-wide bitmask chunking (one i32 of survivor bits per OR-tree) and
+# the 32-super hyper grouping coincide throughout the phase-A0 indexing
+# (hy0 = sc0 // 32, h_total sizing, chunk_a width under the hyper walk);
+# changing HYPER_SIZE alone would silently misindex the hyper table.
+assert HYPER_SIZE == 32, "phase A0 indexing assumes HYPER_SIZE == 32"
+
 MAX_ROWS = 64  # sublane rows per tile: [64, 128] tiles measured fastest at
 # 1080p (38.6 ms/frame vs 41.9 @ 32 rows, 43.1 @ 128, 68 @ 8) — bigger tiles
 # amortize the kernel's scalar-unit work (25 scalar loads per tested
@@ -141,9 +147,9 @@ def _emit_traversal(
     fmx_scratch=None,  # VMEM [8, 128] f32 — max-tree staging for the
     #   supercluster occlusion skip (the tile's max best-t must reach the
     #   scalar unit)
-    cnt_cell=None,  # SMEM [1] i32 — survivor-count carry across the
+    cnt_cell=None,  # SMEM [2] i32 — [0] survivor-count carry across the
     #   pl.when-guarded supercluster body (a predicated block cannot
-    #   update a fori carry)
+    #   update a fori carry); [1] max-tree dirty flag (occlusion skip)
     hyab_ref=None,  # optional [ceil(H/16), 128] f32 hypercluster AABBs
     #   (phase A0; scenes/checkpoints without the table skip the level)
     hy_scratch=None,  # SMEM [H_max] i32 — surviving-hyper list (phase A0)
@@ -711,6 +717,8 @@ def _emit_traversal(
                 jax.lax.fori_loop(
                     cnt0, cnt, lambda j, end: phase_c(j, end, s), cnt
                 )
+                # best_t may have tightened: invalidate the cached max
+                cnt_cell[1] = jnp.int32(1)
 
             def super_pass(jj, carry):
                 s = sc_scratch[jj]
@@ -721,22 +729,31 @@ def _emit_traversal(
                 # skip its 32 cluster slabs + extraction for one max-tree
                 # (amortizable: ~2/3 slab-test) + a scalar compare. On
                 # occluded interiors most of the sorted tail skips.
-                bt = out_ref[0:ROWS, :]
-                acc = bt[0:8, :]
-                for i in range(1, ROWS // 8):
-                    acc = jnp.maximum(acc, bt[8 * i : 8 * (i + 1), :])
-                acc = jnp.maximum(acc[0:4, :], acc[4:8, :])
-                acc = jnp.maximum(acc[0:2, :], acc[2:4, :])
-                acc = jnp.maximum(acc[0:1, :], acc[1:2, :])
-                for sh in (64, 32, 16, 8, 4, 2, 1):
-                    acc = jnp.maximum(acc, pltpu.roll(acc, sh, 1))
-                fmx_scratch[0:1, :] = acc
+                # The max-tree runs only when best_t may have changed
+                # (cnt_cell[1], set by super_body): a long skipped tail
+                # pays one cached-scalar compare per super, not a
+                # cross-lane reduce each.
+                @pl.when(cnt_cell[1] == 1)
+                def _remax():
+                    bt = out_ref[0:ROWS, :]
+                    acc = bt[0:8, :]
+                    for i in range(1, ROWS // 8):
+                        acc = jnp.maximum(acc, bt[8 * i : 8 * (i + 1), :])
+                    acc = jnp.maximum(acc[0:4, :], acc[4:8, :])
+                    acc = jnp.maximum(acc[0:2, :], acc[2:4, :])
+                    acc = jnp.maximum(acc[0:1, :], acc[1:2, :])
+                    for sh in (64, 32, 16, 8, 4, 2, 1):
+                        acc = jnp.maximum(acc, pltpu.roll(acc, sh, 1))
+                    fmx_scratch[0:1, :] = acc
+                    cnt_cell[1] = jnp.int32(0)
+
                 pl.when(sk_scratch[jj] < fmx_scratch[0, 0])(
                     functools.partial(super_body, jj, s)
                 )
                 return carry
 
             cnt_cell[0] = jnp.int32(0)
+            cnt_cell[1] = jnp.int32(1)  # force the first max-tree
             jax.lax.fori_loop(0, na, super_pass, jnp.int32(0))
             nb = cnt_cell[0]
 
@@ -1028,7 +1045,7 @@ def _trace_tiles(
         pltpu.VMEM((8, 128), jnp.int32),  # OR-tree staging (or_tree)
         pltpu.SMEM((32 * 6,), jnp.float32),  # chunk box stash
         pltpu.VMEM((8, 128), jnp.float32),  # max-tree staging (occl. skip)
-        pltpu.SMEM((1,), jnp.int32),  # survivor-count cell (super_body)
+        pltpu.SMEM((2,), jnp.int32),  # survivor-count + max-dirty cells
         pltpu.SMEM((h_total,), jnp.int32),  # surviving-hyper list (A0)
         pltpu.SMEM((h_total,), jnp.float32),  # hyper sort keys (A0)
     ]

@@ -429,7 +429,10 @@ class SceneBuilder:
             22 MB of VMEM for a 1M-tri scene's cluster boxes. The packed
             [ceil(N/16), 128] layout stores box ``i`` at
             [i // 16, (i % 16) * 8 + c]; padding rows are inverted-empty
-            boxes (min +BIG, max -BIG) that fail every slab test."""
+            boxes (min +BIG, max -BIG). NOTE: inverted-empty boxes PASS
+            the kernel's conservative slab test (tnear -BIG <= tfar +BIG)
+            — the traversal masks padding by COUNT (exact chunk widths /
+            the sc_n guard in chunk_a), never by box values."""
             n = mn.shape[0]
             flat = np.concatenate(
                 [mn, mx, np.zeros((n, 2), np.float32)], axis=1
