@@ -156,6 +156,8 @@ def cmd_render(args) -> int:
         enable_refraction=args.refraction,
         refraction_ior=args.ior,
         samples=args.spp,
+        enable_gi=args.gi,
+        gi_seed=args.gi_seed,
     )
     t0 = time.perf_counter()
     if getattr(args, "profile_dir", None):
@@ -424,6 +426,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="index of refraction for --refraction")
     p.add_argument("--spp", type=int, default=1,
                    help="sub-pixel samples per pixel (supersampling AA)")
+    p.add_argument("--gi", action="store_true",
+                   help="Monte-Carlo diffuse GI: cosine-hemisphere bounce "
+                   "continuations with albedo throughput (the hemisphere "
+                   "sampler the reference ships unused) — combine with "
+                   "--spp N to integrate")
+    p.add_argument("--gi-seed", type=int, default=0,
+                   help="base RNG seed for --gi sample streams")
     p.add_argument("--profile-dir", default=None,
                    help="write a jax.profiler trace (TensorBoard format) here")
     p.set_defaults(fn=cmd_render)

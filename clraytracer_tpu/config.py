@@ -66,6 +66,14 @@ class RenderConfig:
     # None disables; set e.g. 80.0 for reference-parity behavior — the
     # Engine raises FrameWatchdogError instead of exit(0).
     frame_watchdog_ms: float | None = None
+    # Monte-Carlo diffuse global illumination (beyond the reference, which
+    # ships its hemisphere sampler unused — MathAndSTL.cl:208-215 is never
+    # called from Trace): secondary bounces continue in a cosine-sampled
+    # hemisphere direction with albedo throughput instead of the mirror
+    # reflection. Combine with ``samples`` (one decorrelated stream per
+    # sample) to integrate; off by default for reference parity.
+    enable_gi: bool = False
+    gi_seed: int = 0
 
     @property
     def resolution(self) -> Tuple[int, int]:

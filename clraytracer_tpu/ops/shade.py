@@ -386,6 +386,9 @@ def shade_hits(
     shadow_tracer=None,  # Tracer | None: sun-occlusion query (shadows)
     enable_refraction: bool = False,
     refraction_ior: float = 1.45,
+    gi_state: Array | None = None,  # [*S] uint32 — per-ray RNG streams:
+    #   Monte-Carlo diffuse GI continuation (cosine hemisphere about the
+    #   shading normal, albedo throughput) replaces the mirror reflection
 ) -> BounceState:
     """Apply one bounce of shading + update throughput (planar).
 
@@ -533,6 +536,21 @@ def shade_hits(
     point = mesh_origin + planar.scale(mesh_direction, t)
     new_origin = point + normal * 0.01
     new_direction = planar.reflect(state.direction, normal)
+    if gi_state is not None:
+        # Monte-Carlo diffuse GI (NEW beyond the reference, which ships its
+        # hemisphere sampler unused — MathAndSTL.cl:208-215 never called
+        # from Trace): continue in a sampled hemisphere direction about the
+        # shading normal; the throughput update below becomes the surface
+        # albedo instead of the specular carry. Direct sun terms stay per
+        # bounce, so averaging ``samples`` decorrelated frames integrates
+        # one-bounce-deeper indirect light.
+        from clraytracer_tpu.ops import rng as _rng
+
+        gi_dir, _ = _rng.hemisphere_sample(gi_state, normal)
+        # keep the sample on the visible side (the sampler is hemisphere-
+        # exact already; this guards degenerate normals on miss lanes)
+        flip = planar.dot(gi_dir, normal) < 0.0
+        new_direction = planar.where(flip, -gi_dir, gi_dir)
 
     # ---- refraction (NEW beyond the reference — on its TODO list,
     # README.md:12): Whitted-style single continuation. Lanes hitting a
@@ -590,6 +608,10 @@ def shade_hits(
     )
     ndl = jnp.maximum(ndl_raw, 0.0)
     specular = planar.scale(specular_color, (1.0 - roughness) * ndl * shadow * ndl)
+    if gi_state is not None:
+        # diffuse GI: the continuation carries the surface albedo (the
+        # cosine-weighted estimator's throughput), not the specular term
+        specular = color
     refl_light = planar.reflect(-state.light_dir, normal)
     rdm = jnp.maximum(planar.dot(refl_light, mesh_direction), 0.0)
     if shininess is None:

@@ -86,6 +86,8 @@ def trace_planar(
     enable_shadows: bool = False,
     enable_refraction: bool = False,
     refraction_ior: float = 1.45,
+    enable_gi: bool = False,
+    gi_seed: int = 0,
 ) -> Array:
     """N-bounce trace + shade over planar rays; returns [3, *spatial]
     radiance. Shading reconstructs the object-space ray of the winning
@@ -120,7 +122,7 @@ def trace_planar(
     result = bounce_loop(
         scene, origin, direction, sun_angle, bounces, tracer,
         reference_parity, integer_colors, enable_shadows,
-        enable_refraction, refraction_ior,
+        enable_refraction, refraction_ior, enable_gi, gi_seed,
     )
     return result.reshape(3, -1)[:, :n].reshape((3,) + spatial)
 
@@ -137,6 +139,8 @@ def bounce_loop(
     enable_shadows: bool = False,
     enable_refraction: bool = False,
     refraction_ior: float = 1.45,
+    enable_gi: bool = False,
+    gi_seed: int = 0,
 ) -> Array:
     """The N-bounce trace+shade core over ray-linear rays (no relayouts).
 
@@ -146,7 +150,7 @@ def bounce_loop(
     trace, shade, and reflect per bounce without leaving VMEM; only the
     deferred skybox add runs in XLA (ops/render_pallas.py). Matches the
     two-phase path below to float precision (1080p frame 20.0 -> 6.9 ms)."""
-    if tracer is trace_pallas and not enable_refraction:
+    if tracer is trace_pallas and not enable_refraction and not enable_gi:
         from clraytracer_tpu.ops.render_pallas import (
             fused_path_available,
             render_fused,
@@ -180,6 +184,19 @@ def bounce_loop(
         if shadow_tracer is trace_pallas:
             # shadow rays cull their non-hit lanes in-kernel too
             shadow_tracer = trace_pallas_live_kw
+        gi_state = None
+        if enable_gi:
+            # one decorrelated xorshift stream per ray per bounce (the
+            # reference's WangHash(i * 9999 + t) idiom, MathAndSTL.cl:189)
+            from clraytracer_tpu.ops import rng as _rng
+
+            ridx = jnp.arange(
+                origin.shape[1] * 128, dtype=jnp.uint32
+            ).reshape(origin.shape[1], 128)
+            gi_state = _rng.wang_hash(
+                ridx * jnp.uint32(9999)
+                + jnp.uint32(1 + gi_seed * 7919 + (b or 0) * 1237)
+            )
         return shade_hits(
             scene,
             state,
@@ -195,12 +212,13 @@ def bounce_loop(
             shadow_tracer=shadow_tracer,
             enable_refraction=enable_refraction,
             refraction_ior=refraction_ior,
+            gi_state=gi_state,
         )
 
     import os
 
     scan_ok = os.environ.get("CLRT_SCAN_BOUNCES", "0") == "1"
-    if scan_ok and bounces > 1 and not enable_shadows:
+    if scan_ok and bounces > 1 and not enable_shadows and not enable_gi:
         # compile-size escape hatch (OPT-IN): one traced bounce body emits
         # the traversal kernel ONCE into the program instead of once per
         # bounce — halves program size (very large streamed-scene programs
@@ -236,6 +254,8 @@ def trace_image(
     enable_shadows: bool = False,
     enable_refraction: bool = False,
     refraction_ior: float = 1.45,
+    enable_gi: bool = False,
+    gi_seed: int = 0,
 ) -> Array:
     """Linear [H, W, 3] radiance before post-processing — the Trace kernel's
     output image (kernel_main.cl:164-275).
@@ -251,7 +271,7 @@ def trace_image(
     result, layout = _trace_tiled(
         scene, frame, width, height, bounces, tracer,
         reference_parity, integer_colors, enable_shadows,
-        enable_refraction, refraction_ior,
+        enable_refraction, refraction_ior, enable_gi, gi_seed,
     )
     img = _untile(result, layout, height, width)
     return planar.to_last(img, (height, width))
@@ -269,6 +289,8 @@ def _trace_tiled(
     enable_shadows: bool = False,
     enable_refraction: bool = False,
     refraction_ior: float = 1.45,
+    enable_gi: bool = False,
+    gi_seed: int = 0,
 ) -> tuple[Array, tuple]:
     """Trace the frame in screen-tile order; returns the raw
     ``[3, rows, 128]`` radiance plus a tagged tile layout —
@@ -277,7 +299,7 @@ def _trace_tiled(
     index pixels inside it (post.vignette masks)."""
     from clraytracer_tpu.ops.trace_pallas import _tile_rows
 
-    if tracer is trace_pallas and not enable_refraction:
+    if tracer is trace_pallas and not enable_refraction and not enable_gi:
         from clraytracer_tpu.ops import render_pallas as rp
 
         if rp.fused_path_available(scene, reference_parity, integer_colors):
@@ -299,7 +321,7 @@ def _trace_tiled(
     result = bounce_loop(
         scene, origin, dirs, frame.sun_angle, bounces, tracer,
         reference_parity, integer_colors, enable_shadows,
-        enable_refraction, refraction_ior,
+        enable_refraction, refraction_ior, enable_gi, gi_seed,
     )
     return result, ("strip", trows, tiles_x, tiles_y)
 
@@ -356,7 +378,7 @@ def render_frame(
         # supersampling (beyond the reference, whose only AA is the FXAA it
         # ships disabled): N sub-pixel-jittered frames averaged before post
         acc = None
-        for jx, jy in _sample_offsets(config.samples):
+        for si, (jx, jy) in enumerate(_sample_offsets(config.samples)):
             fj = frame._replace(
                 inverse_projection=jitter_projection(
                     frame.inverse_projection,
@@ -372,6 +394,8 @@ def render_frame(
                 enable_shadows=config.enable_shadows,
                 enable_refraction=config.enable_refraction,
                 refraction_ior=config.refraction_ior,
+                enable_gi=config.enable_gi,
+                gi_seed=config.gi_seed + si,  # decorrelate per sample
             )
             acc = img if acc is None else acc + img
         img = acc * (1.0 / config.samples)
@@ -390,7 +414,7 @@ def render_frame(
             scene, frame, config.width, config.height, config.bounces,
             tracer, config.reference_parity_shading, config.integer_colors,
             config.enable_shadows, config.enable_refraction,
-            config.refraction_ior,
+            config.refraction_ior, config.enable_gi, config.gi_seed,
         )
         result = post_process_tiled(
             result, config.width, config.height, layout
@@ -410,6 +434,8 @@ def render_frame(
         enable_shadows=config.enable_shadows,
         enable_refraction=config.enable_refraction,
         refraction_ior=config.refraction_ior,
+        enable_gi=config.enable_gi,
+        gi_seed=config.gi_seed,
     )
     if config.enable_post:
         img = post_process(img, enable_fxaa=config.enable_fxaa)
