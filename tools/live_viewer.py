@@ -99,6 +99,8 @@ def main() -> None:
                     help="sun shadow rays (beyond the reference)")
     ap.add_argument("--refraction", action="store_true",
                     help="Snell refraction through transmissive materials")
+    ap.add_argument("--gi", action="store_true",
+                    help="Monte-Carlo diffuse GI bounce continuations")
     ap.add_argument("--camera-pos", type=float, nargs=3,
                     default=[0.13, 0.21, 10.0])
     args = ap.parse_args()
@@ -120,7 +122,8 @@ def main() -> None:
 
     config = RenderConfig(width=args.width, height=args.height,
                           enable_shadows=args.shadows,
-                          enable_refraction=args.refraction)
+                          enable_refraction=args.refraction,
+                          enable_gi=args.gi)
     engine = Engine(
         scene=build_scene(args.scene),
         config=config,
