@@ -378,6 +378,52 @@ def test_fused_render_matches_brute(procedural_scene):
     assert close.mean() > 0.99  # seam-tie pixels may shade differently
 
 
+def test_streamed_hyper_matches_resident_direct(monkeypatch):
+    """The 1M-tri production configuration — HBM-streamed geometry AND the
+    hypercluster culling level together — must agree with the resident
+    direct path (hits, attrs, and the fused frame)."""
+    from clraytracer_tpu.ops import render_pallas as rp
+    from clraytracer_tpu.ops import trace_pallas as tp
+    from clraytracer_tpu.scene import SceneBuilder
+    from clraytracer_tpu.scene.procedural import uv_sphere
+    from clraytracer_tpu.scene import procedural_tex as ptex
+
+    def build():
+        b = SceneBuilder()
+        b.import_procedural(ptex.sky_gradient(64, 32))
+        checker = b.import_procedural(ptex.checker(32, 4))
+        mat = b.create_material(albedo=(0.9, 0.6, 0.3), albedo_tex=checker)
+        b.add_instance(
+            b.add_mesh(uv_sphere(2.0, n_lat=10, n_lon=16),
+                       materials_start=mat)
+        )
+        return b.build()
+
+    scene_r = build()
+    _, o, d = _camera_rays(48, 32)
+    hr = tp.trace_pallas(scene_r, o, d)
+
+    monkeypatch.setattr(tp, "VMEM_TABLE_BUDGET", 0)
+    monkeypatch.setattr(tp, "HYPER_MIN_SUPERS", 0)
+    monkeypatch.setattr(tp, "HYPER_SORT_MIN_SUPERS", 0)  # hyper-sort too
+    tp._trace_tiles._clear_cache()
+    scene_s = build()
+    assert scene_s.clusters.geo_stream is not None
+    assert scene_s.clusters.hyper_aabb is not None
+    hs = tp.trace_pallas(scene_s, o, d)
+    tp._trace_tiles._clear_cache()
+    np.testing.assert_array_equal(np.asarray(hr.t), np.asarray(hs.t))
+    np.testing.assert_array_equal(np.asarray(hr.tri), np.asarray(hs.tri))
+    np.testing.assert_array_equal(
+        np.asarray(hr.attr_uu), np.asarray(hs.attr_uu)
+    )
+    # the streamed kernel runs under InterpretParams on CPU (different
+    # FMA contraction than plain interpret): float-level only
+    np.testing.assert_allclose(
+        np.asarray(hr.attr_normal), np.asarray(hs.attr_normal), atol=1e-6
+    )
+
+
 def test_streamed_tables_match_resident(monkeypatch):
     """Scenes beyond the VMEM table budget now stay on the Pallas path by
     DMA-streaming cluster geometry from HBM (clusters.geo_stream). Hits and
