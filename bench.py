@@ -39,6 +39,9 @@ def main() -> None:
                     "pool (imported-image path) instead of registering "
                     "procedural descriptors — benches the two-phase "
                     "trace+XLA-shade path with real per-ray pool gathers")
+    ap.add_argument("--gi", action="store_true",
+                    help="benchmark the Monte-Carlo diffuse GI frame "
+                    "(cosine-hemisphere continuations; two-phase path)")
     ap.add_argument("--grads", action="store_true",
                     help="benchmark the DIFFERENTIABLE fwd+bwd step (image "
                     "L2 loss, gradients w.r.t. every scene leaf) instead of "
@@ -85,7 +88,9 @@ def main() -> None:
     cam = Camera.create(
         CameraConfig(position=pos, yaw_deg=args.yaw), args.width, args.height
     )
-    config = RenderConfig(width=args.width, height=args.height)
+    config = RenderConfig(
+        width=args.width, height=args.height, enable_gi=args.gi
+    )
     frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
 
     tracer_name = args.tracer or _best_tracer_name(TRACERS)
@@ -93,6 +98,19 @@ def main() -> None:
 
     if args.grads:
         return _bench_grads(args, scene, frame, config, scene_label)
+
+    if args.gi:
+        from clraytracer_tpu.ops.shade import _all_procedural
+
+        if not _all_procedural(scene):
+            # atlas-texture GI takes the two-phase path, whose fori-chained
+            # program trips an axon-backend bug on its second invocation at
+            # 1080p-scale (identical executable + args; unchained repeated
+            # renders are fine — verified 2026-08-20): host-chain dependent
+            # frames instead. Per-dispatch tunnel overhead makes that an
+            # UPPER bound on frame time. Procedural scenes run GI in the
+            # fused kernel and use the normal chained timing below.
+            return _bench_gi_hostchain(args, scene, frame, config, scene_label)
 
     # Honest timing on a tunneled TPU: block_until_ready can return before
     # device work completes (measured 50x too fast), so the per-frame time is
@@ -139,10 +157,48 @@ def main() -> None:
         json.dumps(
             {
                 "metric": f"fwd rays/s, {args.width}x{args.height}x"
-                f"{config.bounces}bounce {scene_label}, tracer={tracer_name}",
+                f"{config.bounces}bounce {scene_label}"
+                + (" +GI" if args.gi else "")
+                + f", tracer={tracer_name}",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 1000.0, 4),
+            }
+        )
+    )
+
+
+def _bench_gi_hostchain(args, scene, frame, config, scene_label) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from clraytracer_tpu.render import TRACERS, render_frame
+
+    tracer = TRACERS[args.tracer or _best_tracer_name(TRACERS)]
+
+    @jax.jit
+    def one(s, f):
+        img = render_frame(s, f, config, tracer=tracer)
+        return jnp.sum(img) * 1e-6
+
+    acc = float(one(scene, frame))  # compile + warm
+    assert np.isfinite(acc)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        acc = float(
+            one(scene, frame._replace(sun_angle=frame.sun_angle + acc * 1e-20))
+        )
+    dt = max((time.perf_counter() - t0) / args.iters, 1e-9)
+    rays = args.width * args.height * config.bounces
+    print(
+        json.dumps(
+            {
+                "metric": f"fwd rays/s, {args.width}x{args.height}x"
+                f"{config.bounces}bounce {scene_label} +GI "
+                "(host-chained: includes per-dispatch overhead)",
+                "value": round(rays / dt / 1e6, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(rays / dt / 1e9, 4),
             }
         )
     )

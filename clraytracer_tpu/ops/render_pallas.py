@@ -117,6 +117,7 @@ def _make_render_kernel(
     shadows: bool = False,
     atlas_mode: int = 0,
     has_hyper: bool = False,
+    gi_seed: int | None = None,
 ):
     """``cam = (trows, tiles_x, width, height)`` selects in-kernel raygen:
     instead of six [ROWS, 128] ray inputs streamed from HBM, the kernel
@@ -489,6 +490,56 @@ def _make_render_kernel(
             # origin); direction = reflect(d, n)
             ndd = n[0] * d[0] + n[1] * d[1] + n[2] * d[2]
             dif = ndl if shadow is None else ndl * shadow
+            if gi_seed is not None:
+                # ---- in-kernel Monte-Carlo GI continuation --------------
+                # Bit-identical RNG streams to the XLA path (ops/rng.py):
+                # i32 wrap arithmetic == uint32 bit patterns; logical
+                # shifts via shift_right_logical (Mosaic has no u32->f32
+                # cast, and shr(s, 8) is non-negative so the i32 cast is
+                # exact). Only the trig/rsqrt rounding differs from XLA.
+                shr = jax.lax.shift_right_logical
+                row_g = pl.program_id(0) * ROWS + jax.lax.broadcasted_iota(
+                    jnp.int32, (ROWS, 128), 0
+                )
+                lane_g = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
+                seed_c = np.int32(
+                    np.uint32((1 + gi_seed * 7919 + _b * 1237) & 0xFFFFFFFF)
+                )
+                sg = (row_g * 128 + lane_g) * jnp.int32(9999) + seed_c
+                sg = (sg ^ 61) ^ shr(sg, 16)
+                sg = sg * jnp.int32(9)
+                sg = sg ^ shr(sg, 4)
+                sg = sg * jnp.int32(np.int32(np.uint32(0x27D4EB2D)))
+                sg = sg ^ shr(sg, 15)
+                sg = sg ^ (sg << 13); sg = sg ^ shr(sg, 17)
+                sg = sg ^ (sg << 5)
+                cos_t = shr(sg, 8).astype(jnp.float32) * (1.0 / 16777216.0)
+                sg = sg ^ (sg << 13); sg = sg ^ shr(sg, 17)
+                sg = sg ^ (sg << 5)
+                u2 = shr(sg, 8).astype(jnp.float32) * (1.0 / 16777216.0)
+                sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+                phi = (2.0 * np.pi) * u2
+                px_, py_ = jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t
+                # tangent frame (ops/rng.tangent_space): helper = +X, or +Z
+                # when the normal is nearly +X
+                nx_big = jnp.abs(n[0]) > 0.99
+                hx = jnp.where(nx_big, 0.0, 1.0)
+                hz = jnp.where(nx_big, 1.0, 0.0)
+                tx_ = n[1] * hz
+                ty_ = n[2] * hx - n[0] * hz
+                tz_ = -n[1] * hx
+                tn_ = 1.0 / jnp.sqrt(tx_ * tx_ + ty_ * ty_ + tz_ * tz_)
+                tx_, ty_, tz_ = tx_ * tn_, ty_ * tn_, tz_ * tn_
+                bx_ = n[1] * tz_ - n[2] * ty_
+                by_ = n[2] * tx_ - n[0] * tz_
+                bz_ = n[0] * ty_ - n[1] * tx_
+                bn_ = 1.0 / jnp.sqrt(bx_ * bx_ + by_ * by_ + bz_ * bz_)
+                bx_, by_, bz_ = bx_ * bn_, by_ * bn_, bz_ * bn_
+                gi_dir = (
+                    tx_ * px_ + bx_ * py_ + n[0] * cos_t,
+                    ty_ * px_ + by_ * py_ + n[1] * cos_t,
+                    tz_ * px_ + bz_ * py_ + n[2] * cos_t,
+                )
             if atlas_mode:
                 # texel-independent shading: accumulate spec_light now and
                 # emit the deferred blocks for the XLA post-pass. Lanes
@@ -548,11 +599,20 @@ def _make_render_kernel(
                         + (float(atm[c]) * color[c]) * amb_m
                     ) + spec_light
                 result[c] = jnp.where(live, result[c] + contrib, result[c])
-                energy[c] = jnp.where(
-                    live, energy[c] * (0.2 * spec_s), energy[c]
-                )
+                if gi_seed is not None:
+                    # diffuse GI throughput: albedo, not the specular carry
+                    energy[c] = jnp.where(
+                        live, energy[c] * color[c], energy[c]
+                    )
+                else:
+                    energy[c] = jnp.where(
+                        live, energy[c] * (0.2 * spec_s), energy[c]
+                    )
                 new_o = (mo[c] + md[c] * t) + n[c] * 0.01
-                new_d = d[c] - n[c] * (2.0 * ndd)
+                new_d = (
+                    gi_dir[c] if gi_seed is not None
+                    else d[c] - n[c] * (2.0 * ndd)
+                )
                 o[c] = jnp.where(live, new_o, o[c])
                 d[c] = jnp.where(live, new_d, d[c])
                 light[c] = jnp.where(live, new_d, light[c])
@@ -594,7 +654,7 @@ def _make_render_kernel(
     jax.jit,
     static_argnames=(
         "instance_ranges", "rows", "tex_descs", "bounces", "cam", "n_tiles",
-        "stream", "shadows", "atlas_mode",
+        "stream", "shadows", "atlas_mode", "gi_seed",
     ),
 )
 def _render_tiles(
@@ -616,6 +676,7 @@ def _render_tiles(
     shadows: bool = False,
     atlas_mode: int = 0,
     hyper: tuple[Array, ...] = (),  # 0 or 1 packed hypercluster AABB table
+    gi_seed: int | None = None,
 ):
     if cam is None:
         n_tiles = rays6[0].shape[0]
@@ -628,6 +689,7 @@ def _render_tiles(
     kernel = _make_render_kernel(
         instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam,
         stream, shadows, atlas_mode, has_hyper=len(hyper) == 1,
+        gi_seed=gi_seed,
     )
     on_tpu = jax.default_backend() == "tpu"
     interpret = (
@@ -853,6 +915,7 @@ def render_fused(
     bounces: int,
     rows: int | None = None,
     enable_shadows: bool = False,
+    gi_seed: int | None = None,
 ) -> Array:
     """Full bounce loop in one kernel → [3, rows, 128] radiance (pre-post).
 
@@ -879,6 +942,9 @@ def render_fused(
     ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
     atlas_mode = 0 if _all_procedural(scene) else (
         1 if scene.materials.count <= MAX_FUSED_MATERIALS else 2
+    )
+    assert gi_seed is None or atlas_mode == 0, (
+        "in-kernel GI needs the texel in-register (all-procedural scenes)"
     )
     tex_descs = () if atlas_mode else tuple(
         (off >> _OFF_SHIFT, off & ((1 << _OFF_SHIFT) - 1), desc)
@@ -912,6 +978,7 @@ def render_fused(
         hyper=(
             (clusters.hyper_aabb,) if clusters.hyper_aabb is not None else ()
         ),
+        gi_seed=gi_seed,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
@@ -939,6 +1006,7 @@ def render_fused_camera(
     bounces: int,
     rows: int | None = None,
     enable_shadows: bool = False,
+    gi_seed: int | None = None,
 ) -> tuple[Array, tuple[int, int, int]]:
     """Fused frame with **in-kernel raygen** → ([3, rows_total, 128]
     radiance in trows x 128 screen-strip order, (trows, tiles_x, tiles_y))
@@ -972,6 +1040,9 @@ def render_fused_camera(
     ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
     atlas_mode = 0 if _all_procedural(scene) else (
         1 if scene.materials.count <= MAX_FUSED_MATERIALS else 2
+    )
+    assert gi_seed is None or atlas_mode == 0, (
+        "in-kernel GI needs the texel in-register (all-procedural scenes)"
     )
     tex_descs = () if atlas_mode else tuple(
         (off >> _OFF_SHIFT, off & ((1 << _OFF_SHIFT) - 1), desc)
@@ -1011,6 +1082,7 @@ def render_fused_camera(
         hyper=(
             (clusters.hyper_aabb,) if clusters.hyper_aabb is not None else ()
         ),
+        gi_seed=gi_seed,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]

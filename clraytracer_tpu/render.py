@@ -150,15 +150,24 @@ def bounce_loop(
     trace, shade, and reflect per bounce without leaving VMEM; only the
     deferred skybox add runs in XLA (ops/render_pallas.py). Matches the
     two-phase path below to float precision (1080p frame 20.0 -> 6.9 ms)."""
-    if tracer is trace_pallas and not enable_refraction and not enable_gi:
+    if tracer is trace_pallas and not enable_refraction:
         from clraytracer_tpu.ops.render_pallas import (
             fused_path_available,
             render_fused,
         )
+        from clraytracer_tpu.ops.shade import _all_procedural
 
-        if fused_path_available(scene, reference_parity, integer_colors):
+        # GI runs IN-KERNEL (bit-identical RNG streams to the XLA path)
+        # when shading is fully in-register (all-procedural textures: the
+        # diffuse throughput update needs the texel); atlas scenes fall
+        # back to the two-phase path below
+        gi_ok = not enable_gi or _all_procedural(scene)
+        if gi_ok and fused_path_available(
+            scene, reference_parity, integer_colors
+        ):
             return render_fused(scene, origin, direction, sun_angle, bounces,
-                                enable_shadows=enable_shadows)
+                                enable_shadows=enable_shadows,
+                                gi_seed=gi_seed if enable_gi else None)
 
     state = initial_bounce_state(origin, direction, sun_angle)
 
@@ -299,14 +308,19 @@ def _trace_tiled(
     index pixels inside it (post.vignette masks)."""
     from clraytracer_tpu.ops.trace_pallas import _tile_rows
 
-    if tracer is trace_pallas and not enable_refraction and not enable_gi:
+    if tracer is trace_pallas and not enable_refraction:
         from clraytracer_tpu.ops import render_pallas as rp
+        from clraytracer_tpu.ops.shade import _all_procedural
 
-        if rp.fused_path_available(scene, reference_parity, integer_colors):
+        gi_ok = not enable_gi or _all_procedural(scene)
+        if gi_ok and rp.fused_path_available(
+            scene, reference_parity, integer_colors
+        ):
             # in-kernel raygen: no per-ray inputs at all (render_pallas)
             result, (trows, tiles_x, tiles_y) = rp.render_fused_camera(
                 scene, frame, width, height, bounces,
                 enable_shadows=enable_shadows,
+                gi_seed=gi_seed if enable_gi else None,
             )
             return result, ("strip", trows, tiles_x, tiles_y)
     trows = _tile_rows(width * height)

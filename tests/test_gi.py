@@ -57,6 +57,26 @@ def test_gi_seed_decorrelates_and_is_deterministic(gi_scene):
     assert np.abs(a - b).max() > 1e-4  # different stream
 
 
+def test_gi_fused_kernel_matches_two_phase(gi_scene):
+    """All-procedural scenes run GI IN the fused Pallas kernel with
+    bit-identical RNG streams to the XLA path (i32 wrap arithmetic ==
+    uint32); only trig/rsqrt rounding and traversal tie-breaks may
+    differ, so the images agree at float tolerance almost everywhere."""
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
+    from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
+
+    camera = Camera.create(CameraConfig(position=(0.1, 0.2, 8.0)), W, H)
+    frame = frame_inputs_from_camera(camera, sun_angle=-1.96)
+    config = RenderConfig(width=W, height=H, enable_post=False,
+                          enable_gi=True)
+    img_f = np.asarray(render_frame(gi_scene, frame, config,
+                                    tracer=trace_pallas))
+    img_w = np.asarray(render_frame(gi_scene, frame, config,
+                                    tracer=trace_wavefront))
+    close = np.isclose(img_f, img_w, atol=1e-3).all(axis=-1)
+    assert close.mean() > 0.98, close.mean()
+
+
 def test_gi_spp_averages_decorrelated_samples(gi_scene):
     """samples=N must average N DIFFERENT GI streams: the variance of the
     4-spp estimate against an independent 4-spp estimate is below the
