@@ -312,13 +312,57 @@ def cmd_fit(args) -> int:
     return 0
 
 
+def _maybe_init_distributed(args) -> int:
+    """Multi-host launch glue (SURVEY.md §5 "distributed communication
+    backend"): starts ``jax.distributed`` when a coordinator is configured,
+    via flags or env fallbacks (CLRT_COORDINATOR / CLRT_NUM_PROCESSES /
+    CLRT_PROCESS_ID). Must run before any jax computation. Returns this
+    process's index (0 for single-process runs).
+
+    On a real pod slice the same command runs unchanged on every host:
+      clrt sweep --coordinator host0:1234 --num-processes N --process-id $i
+    (on Cloud TPU, plain ``jax.distributed.initialize()`` auto-detects; pass
+    ``--coordinator auto`` to request that form.)
+    """
+    import os
+
+    coord = getattr(args, "coordinator", None) or os.environ.get(
+        "CLRT_COORDINATOR"
+    )
+    if coord is None:
+        return 0
+    import jax
+
+    if coord == "auto":
+        jax.distributed.initialize()
+    else:
+        nproc = getattr(args, "num_processes", None) or int(
+            os.environ.get("CLRT_NUM_PROCESSES", "0")
+        )
+        pid = getattr(args, "process_id", None)
+        if pid is None:
+            pid = int(os.environ.get("CLRT_PROCESS_ID", "-1"))
+        assert nproc > 0 and pid >= 0, (
+            "--num-processes/--process-id (or CLRT_* env) required with "
+            "--coordinator"
+        )
+        jax.distributed.initialize(
+            coordinator_address=coord, num_processes=nproc, process_id=pid
+        )
+    return jax.process_index()
+
+
 def cmd_sweep(args) -> int:
     """Scaling sweep: rays/s at 1, 2, 4, ... N devices (BASELINE config 5).
 
     On a multi-chip TPU slice this measures real ICI scaling; on CPU it runs
     against the virtual 8-device platform (mechanism check). Efficiency is
-    rays/s(N) / (N * rays/s(1)).
+    rays/s(N) / (N * rays/s(1)). With ``--coordinator`` the sweep spans all
+    hosts' devices (device subsets are dealt per-process so every host
+    participates in every row; DCN carries the cross-host legs).
     """
+    proc = _maybe_init_distributed(args)
+
     import jax
     import jax.numpy as jnp
 
@@ -328,18 +372,38 @@ def cmd_sweep(args) -> int:
         render_sharded,
         replicate_scene,
     )
-    from clraytracer_tpu.render import frame_inputs_from_camera
+    from clraytracer_tpu.render import TRACERS, frame_inputs_from_camera
 
+    tracer = TRACERS[args.tracer]
     scene_h = build_scene(args.scene, args.tris)
     cam = _camera(args)
     frame = frame_inputs_from_camera(cam, args.sun_angle)
     cfg = RenderConfig(width=args.width, height=args.height,
                        bounces=args.bounces)
     devices = jax.devices()
-    counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+    nprocs = jax.process_count()
+    if nprocs > 1:
+        # every process must own part of every mesh: pick ceil(n/nprocs)
+        # devices from EACH process's block
+        by_proc = [
+            [d for d in devices if d.process_index == p]
+            for p in range(nprocs)
+        ]
+        counts = [
+            nprocs * m
+            for m in (1, 2, 4, 8, 16, 32)
+            if nprocs * m <= len(devices)
+        ]
+
+        def pick(n: int) -> list:
+            k = n // nprocs
+            return [d for block in by_proc for d in block[:k]]
+    else:
+        counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devices)]
+        pick = lambda n: devices[:n]
 
     def time_n(n: int) -> float:
-        mesh = make_device_mesh(devices[:n])
+        mesh = make_device_mesh(pick(n))
         scene = replicate_scene(scene_h, mesh)
 
         # chained dependent frames (honest on the tunneled TPU; see bench.py)
@@ -349,7 +413,7 @@ def cmd_sweep(args) -> int:
                 def body(i, acc):
                     img = render_sharded(
                         s, f._replace(sun_angle=f.sun_angle + acc * 1e-20),
-                        cfg, mesh,
+                        cfg, mesh, tracer=tracer,
                     )
                     return (
                         acc * 0.5 + img[0, 0, 0]
@@ -380,8 +444,15 @@ def cmd_sweep(args) -> int:
                 "efficiency": round(mrays / (n * base), 4),
             }
         )
-        print(json.dumps(results[-1]), flush=True)
-    print(json.dumps({"platform": jax.default_backend(), "sweep": results}))
+        if proc == 0:
+            print(json.dumps(results[-1]), flush=True)
+    if proc == 0:
+        print(json.dumps({
+            "platform": jax.default_backend(),
+            "tracer": args.tracer,
+            "processes": jax.process_count(),
+            "sweep": results,
+        }))
     return 0
 
 
@@ -409,7 +480,11 @@ def main(argv: list[str] | None = None) -> int:
                        default=[0.13, 0.21, 10.0])
         p.add_argument("--yaw", type=float, default=-90.0)
         p.add_argument("--pitch", type=float, default=0.0)
-        p.add_argument("--tracer", default="wavefront")
+        p.add_argument(
+            "--tracer", default="best",
+            help="best (auto: pallas when available) | pallas | wavefront "
+            "| bvh | brute",
+        )
 
     p = sub.add_parser("render", help="render a frame to PNG")
     # (scene specs accept .clsnap.npz checkpoints everywhere --scene does)
@@ -427,10 +502,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--spp", type=int, default=1,
                    help="sub-pixel samples per pixel (supersampling AA)")
     p.add_argument("--gi", action="store_true",
-                   help="Monte-Carlo diffuse GI: cosine-hemisphere bounce "
-                   "continuations with albedo throughput (the hemisphere "
-                   "sampler the reference ships unused) — combine with "
-                   "--spp N to integrate")
+                   help="Monte-Carlo diffuse GI: uniform-hemisphere bounce "
+                   "continuations, albedo * 2*cosTheta throughput (the "
+                   "hemisphere sampler the reference ships unused) — "
+                   "combine with --spp N to integrate")
     p.add_argument("--gi-seed", type=int, default=0,
                    help="base RNG seed for --gi sample streams")
     p.add_argument("--profile-dir", default=None,
@@ -454,6 +529,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     common(p)
     p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator host:port ('auto' for "
+                   "Cloud-TPU autodetect); env fallback CLRT_COORDINATOR")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count "
+                   "(CLRT_NUM_PROCESSES)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's id (CLRT_PROCESS_ID)")
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser(

@@ -68,9 +68,9 @@ class RenderConfig:
     frame_watchdog_ms: float | None = None
     # Monte-Carlo diffuse global illumination (beyond the reference, which
     # ships its hemisphere sampler unused — MathAndSTL.cl:208-215 is never
-    # called from Trace): secondary bounces continue in a cosine-sampled
-    # hemisphere direction with albedo throughput instead of the mirror
-    # reflection. Combine with ``samples`` (one decorrelated stream per
+    # called from Trace): secondary bounces continue in a uniformly sampled
+    # hemisphere direction (the reference's sampler, pdf 1/2pi) with
+    # albedo * 2*cosTheta throughput instead of the mirror reflection. Combine with ``samples`` (one decorrelated stream per
     # sample) to integrate; off by default for reference parity.
     enable_gi: bool = False
     gi_seed: int = 0

@@ -52,7 +52,10 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
         # discrete structure: no gradients through the traversal itself
         import inspect
 
-        params = inspect.signature(base_tracer).parameters
+        from clraytracer_tpu.render import resolve_tracer
+
+        tracer_fn = resolve_tracer(base_tracer, scene)
+        params = inspect.signature(tracer_fn).parameters
         kw = {}
         if live is not None and "live" in params:
             kw["live"] = jax.lax.stop_gradient(live)
@@ -63,7 +66,7 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
             # r16 trace on the 1M-tri scene)
             kw["variant"] = "noattr"
         hit = jax.lax.stop_gradient(
-            base_tracer(
+            tracer_fn(
                 jax.lax.stop_gradient(scene),
                 jax.lax.stop_gradient(origin),
                 jax.lax.stop_gradient(direction),
@@ -136,8 +139,12 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
     import inspect
 
     # advertise dead-lane culling to render.bounce_loop when the base
-    # tracer supports it
-    traced.supports_live = (
+    # tracer supports it (trace_best resolves per scene inside ``traced``;
+    # advertising True is safe — ``traced`` drops the kwarg for tracers
+    # that don't accept it)
+    from clraytracer_tpu.render import trace_best
+
+    traced.supports_live = base_tracer is trace_best or (
         "live" in inspect.signature(base_tracer).parameters
     )
     return traced

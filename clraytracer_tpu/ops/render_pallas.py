@@ -117,7 +117,7 @@ def _make_render_kernel(
     shadows: bool = False,
     atlas_mode: int = 0,
     has_hyper: bool = False,
-    gi_seed: int | None = None,
+    gi_on: bool = False,
 ):
     """``cam = (trows, tiles_x, width, height)`` selects in-kernel raygen:
     instead of six [ROWS, 128] ray inputs streamed from HBM, the kernel
@@ -179,10 +179,19 @@ def _make_render_kernel(
             inst_ref,  # [I, 17] inverse transform (row-major) | material_start
             mat_ref,  # [M, 16] packed material rows (ops/shade.ShadingTables)
             sun_ref,  # SMEM [1, 2]: (sin sun_angle, cos sun_angle)
+        ) = rest[:3]
+        rest = rest[3:]
+        if gi_on:
+            # SMEM [1, bounces] i32: per-bounce GI seed bases — TRACED, so
+            # changing the seed (per supersample) reuses ONE compiled kernel
+            gis_ref, rest = rest[0], rest[1:]
+        else:
+            gis_ref = None
+        (
             scab_ref,  # [S, 8] supercluster AABBs
             clab_ref,  # [C, 8] cluster AABBs
-        ) = rest[:5]
-        rest = rest[5:]
+        ) = rest[:2]
+        rest = rest[2:]
         if has_hyper:
             hyab_ref, rest = rest[0], rest[1:]  # packed hypercluster AABBs
         else:
@@ -490,7 +499,7 @@ def _make_render_kernel(
             # origin); direction = reflect(d, n)
             ndd = n[0] * d[0] + n[1] * d[1] + n[2] * d[2]
             dif = ndl if shadow is None else ndl * shadow
-            if gi_seed is not None:
+            if gi_on:
                 # ---- in-kernel Monte-Carlo GI continuation --------------
                 # Bit-identical RNG streams to the XLA path (ops/rng.py):
                 # i32 wrap arithmetic == uint32 bit patterns; logical
@@ -502,9 +511,9 @@ def _make_render_kernel(
                     jnp.int32, (ROWS, 128), 0
                 )
                 lane_g = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
-                seed_c = np.int32(
-                    np.uint32((1 + gi_seed * 7919 + _b * 1237) & 0xFFFFFFFF)
-                )
+                # per-bounce seed base from SMEM (i32 wrap arithmetic ==
+                # the XLA path's uint32 bit patterns)
+                seed_c = gis_ref[0, _b]
                 sg = (row_g * 128 + lane_g) * jnp.int32(9999) + seed_c
                 sg = (sg ^ 61) ^ shr(sg, 16)
                 sg = sg * jnp.int32(9)
@@ -540,6 +549,19 @@ def _make_render_kernel(
                     ty_ * px_ + by_ * py_ + n[1] * cos_t,
                     tz_ * px_ + bz_ * py_ + n[2] * cos_t,
                 )
+                # same visible-side flip guard as the XLA path
+                # (ops/shade.py: degenerate normals can land the sample
+                # below the surface) + the uniform-hemisphere Lambertian
+                # estimator weight 2*cosTheta (pdf 1/2pi)
+                gi_dot = (
+                    gi_dir[0] * n[0] + gi_dir[1] * n[1] + gi_dir[2] * n[2]
+                )
+                gi_flip = gi_dot < 0.0
+                gi_dir = tuple(
+                    jnp.where(gi_flip, -gi_dir[c], gi_dir[c])
+                    for c in range(3)
+                )
+                gi_weight = 2.0 * jnp.abs(gi_dot)
             if atlas_mode:
                 # texel-independent shading: accumulate spec_light now and
                 # emit the deferred blocks for the XLA post-pass. Lanes
@@ -599,10 +621,11 @@ def _make_render_kernel(
                         + (float(atm[c]) * color[c]) * amb_m
                     ) + spec_light
                 result[c] = jnp.where(live, result[c] + contrib, result[c])
-                if gi_seed is not None:
-                    # diffuse GI throughput: albedo, not the specular carry
+                if gi_on:
+                    # diffuse GI throughput: albedo * 2*cosTheta (uniform-
+                    # hemisphere estimator weight), not the specular carry
                     energy[c] = jnp.where(
-                        live, energy[c] * color[c], energy[c]
+                        live, energy[c] * color[c] * gi_weight, energy[c]
                     )
                 else:
                     energy[c] = jnp.where(
@@ -610,7 +633,7 @@ def _make_render_kernel(
                     )
                 new_o = (mo[c] + md[c] * t) + n[c] * 0.01
                 new_d = (
-                    gi_dir[c] if gi_seed is not None
+                    gi_dir[c] if gi_on
                     else d[c] - n[c] * (2.0 * ndd)
                 )
                 o[c] = jnp.where(live, new_o, o[c])
@@ -654,7 +677,7 @@ def _make_render_kernel(
     jax.jit,
     static_argnames=(
         "instance_ranges", "rows", "tex_descs", "bounces", "cam", "n_tiles",
-        "stream", "shadows", "atlas_mode", "gi_seed",
+        "stream", "shadows", "atlas_mode",
     ),
 )
 def _render_tiles(
@@ -676,7 +699,7 @@ def _render_tiles(
     shadows: bool = False,
     atlas_mode: int = 0,
     hyper: tuple[Array, ...] = (),  # 0 or 1 packed hypercluster AABB table
-    gi_seed: int | None = None,
+    gis: Array | None = None,  # [1, bounces] i32 per-bounce GI seed bases
 ):
     if cam is None:
         n_tiles = rays6[0].shape[0]
@@ -689,7 +712,7 @@ def _render_tiles(
     kernel = _make_render_kernel(
         instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam,
         stream, shadows, atlas_mode, has_hyper=len(hyper) == 1,
-        gi_seed=gi_seed,
+        gi_on=gis is not None,
     )
     on_tpu = jax.default_backend() == "tpu"
     interpret = (
@@ -730,19 +753,25 @@ def _render_tiles(
             pltpu.VMEM((8 * _tp.STREAM_PIPE, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((_tp.STREAM_PIPE,)),
         ]
+    gis_t = () if gis is None else (gis,)
+    gis_specs = [] if gis is None else [smem]
+    vma = _tp.out_vma(*ray_in[0], inst_rows, mat_rows, sun, *gis_t, scab,
+                      clab, *hyper, *geo)
+    inputs = _tp.align_vma(vma, *ray_in[0], inst_rows, mat_rows, sun,
+                           *gis_t, scab, clab, *hyper, *geo)
     big = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles, n_out * ROWS, 128), jnp.float32
+            (n_tiles, n_out * ROWS, 128), jnp.float32, vma=vma
         ),
-        in_specs=ray_in[1] + [full, full, smem, full, full]
+        in_specs=ray_in[1] + [full, full, smem] + gis_specs + [full, full]
         + [full] * len(hyper) + geo_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
         interpret=interpret,
     )(
-        *ray_in[0], inst_rows, mat_rows, sun, scab, clab, *hyper, *geo,
+        *inputs,
     )
     fld3 = lambda k: big[:, k * ROWS : (k + 3) * ROWS, :]
     # result, miss_energy, miss_dir blocks (+ the raw deferred-texel blocks)
@@ -907,6 +936,20 @@ def _geo_inputs(clusters) -> tuple[bool, tuple]:
     )
 
 
+def _gi_seed_rows(gi_seed, bounces: int) -> Array | None:
+    """Per-bounce GI seed bases as a TRACED [1, bounces] i32 SMEM row:
+    ``1 + gi_seed*7919 + b*1237`` in wrapping i32 (bit-identical to the XLA
+    path's uint32 arithmetic, ops/rng.py). Traced so every supersample seed
+    reuses ONE compiled kernel (a static seed recompiled per sample)."""
+    if gi_seed is None:
+        return None
+    return (
+        jnp.int32(1)
+        + jnp.asarray(gi_seed, jnp.int32) * jnp.int32(7919)
+        + jnp.arange(bounces, dtype=jnp.int32) * jnp.int32(1237)
+    ).reshape(1, bounces)
+
+
 def render_fused(
     scene: Scene,
     origin: Array,  # [3, rows, 128] ray-linear (screen-tile order)
@@ -978,7 +1021,7 @@ def render_fused(
         hyper=(
             (clusters.hyper_aabb,) if clusters.hyper_aabb is not None else ()
         ),
-        gi_seed=gi_seed,
+        gis=_gi_seed_rows(gi_seed, bounces),
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
@@ -1082,7 +1125,7 @@ def render_fused_camera(
         hyper=(
             (clusters.hyper_aabb,) if clusters.hyper_aabb is not None else ()
         ),
-        gi_seed=gi_seed,
+        gis=_gi_seed_rows(gi_seed, bounces),
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]

@@ -387,8 +387,9 @@ def shade_hits(
     enable_refraction: bool = False,
     refraction_ior: float = 1.45,
     gi_state: Array | None = None,  # [*S] uint32 — per-ray RNG streams:
-    #   Monte-Carlo diffuse GI continuation (cosine hemisphere about the
-    #   shading normal, albedo throughput) replaces the mirror reflection
+    #   Monte-Carlo diffuse GI continuation (uniform hemisphere about the
+    #   shading normal, albedo * 2*cosTheta throughput) replaces the
+    #   mirror reflection
 ) -> BounceState:
     """Apply one bounce of shading + update throughput (planar).
 
@@ -549,8 +550,15 @@ def shade_hits(
         gi_dir, _ = _rng.hemisphere_sample(gi_state, normal)
         # keep the sample on the visible side (the sampler is hemisphere-
         # exact already; this guards degenerate normals on miss lanes)
-        flip = planar.dot(gi_dir, normal) < 0.0
+        gi_dot = planar.dot(gi_dir, normal)
+        flip = gi_dot < 0.0
         new_direction = planar.where(flip, -gi_dir, gi_dir)
+        # Lambertian estimator weight for the UNIFORM hemisphere sampler
+        # (pdf 1/2pi — hemisphere_sample draws cosTheta ~ U[0,1), which is
+        # uniform in solid angle): (albedo/pi) * cosTheta / pdf =
+        # albedo * 2 * cosTheta. The albedo factor rides the throughput
+        # update below; the 2*cosTheta is this weight.
+        gi_weight = 2.0 * jnp.abs(gi_dot)
 
     # ---- refraction (NEW beyond the reference — on its TODO list,
     # README.md:12): Whitted-style single continuation. Lanes hitting a
@@ -609,9 +617,10 @@ def shade_hits(
     ndl = jnp.maximum(ndl_raw, 0.0)
     specular = planar.scale(specular_color, (1.0 - roughness) * ndl * shadow * ndl)
     if gi_state is not None:
-        # diffuse GI: the continuation carries the surface albedo (the
-        # cosine-weighted estimator's throughput), not the specular term
-        specular = color
+        # diffuse GI: the continuation carries albedo * 2*cosTheta (the
+        # uniform-hemisphere Lambertian estimator weight, see the sampling
+        # site above), not the specular term
+        specular = planar.scale(color, gi_weight)
     refl_light = planar.reflect(-state.light_dir, normal)
     rdm = jnp.maximum(planar.dot(refl_light, mesh_direction), 0.0)
     if shininess is None:

@@ -989,6 +989,35 @@ def _make_kernel(
     return kernel
 
 
+def out_vma(*arrays) -> frozenset:
+    """Varying-manual-axes set for a pallas_call output: the union over its
+    inputs. Under ``jax.shard_map(check_vma=True)`` (the sharded render /
+    train paths) pallas_call outputs must declare how they vary over the
+    mesh; outside shard_map every input's vma is empty and this is a no-op."""
+    vma: set = set()
+    for a in arrays:
+        if a is None:
+            continue
+        vma |= set(getattr(jax.typeof(a), "vma", ()) or ())
+    return frozenset(vma)
+
+
+def align_vma(vma: frozenset, *arrays):
+    """Mark every array varying over all axes in ``vma`` (pcast replicated →
+    varying is a no-op value-wise). Interpret-mode pallas evaluates the
+    kernel body as jax ops under shard_map's vma checking, which rejects
+    mixing varying ray tiles with replicated scene tables; on hardware the
+    kernel body is opaque, so this only canonicalizes the call boundary."""
+    out = []
+    for a in arrays:
+        if a is not None:
+            missing = vma - set(getattr(jax.typeof(a), "vma", ()) or ())
+            if missing:
+                a = jax.lax.pcast(a, tuple(sorted(missing)), to="varying")
+        out.append(a)
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("instance_ranges", "rows", "variant", "stream")
 )
@@ -1055,18 +1084,20 @@ def _trace_tiles(
             pltpu.VMEM((8 * STREAM_PIPE, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((STREAM_PIPE,)),
         ]
+    vma = out_vma(*rays6, inv, scab, clab, *hyper, *geo)
+    inputs = align_vma(vma, *rays6, inv, scab, clab, *hyper, *geo)
     big = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct(
-            (n_tiles, 11 * ROWS, 128), jnp.float32
+            (n_tiles, 11 * ROWS, 128), jnp.float32, vma=vma
         ),
         in_specs=[tile_spec] * n_ray_in + [full] * (3 + len(hyper))
         + geo_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
         interpret=interpret,
-    )(*rays6, inv, scab, clab, *hyper, *geo)
+    )(*inputs)
 
     fld = lambda k: big[:, k * ROWS:(k + 1) * ROWS, :]
     as_i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
@@ -1188,6 +1219,12 @@ def trace_pallas(
     # the object-space ray per ray costs a per-ray instance gather, which
     # shading already performs (and shares) — doing it here too measured
     # ~60 ms/bounce of pure waste at 1080p.
+    # attrs only exist for the 'full' variant — 'noattr'/'geom' kernels
+    # never write the attr blocks, and returning their zero-filled arrays
+    # would silently shade with zero normals through the attrs-presence
+    # convention (render.py / shade.py check `attrs is not None`); None
+    # routes those callers to the gather path automatically
+    full = variant == "full"
     return SceneHit(
         t=jnp.where(hit, t, MISS_DISTANCE),
         u=untile(u),
@@ -1195,8 +1232,10 @@ def trace_pallas(
         tri=tri,
         instance=inst,
         hit=hit,
-        attr_normal=jnp.stack([untile(nx), untile(ny), untile(nz)]),
-        attr_uu=untile(uu),
-        attr_vv=untile(vv),
-        attr_mat=untile(matl),
+        attr_normal=(
+            jnp.stack([untile(nx), untile(ny), untile(nz)]) if full else None
+        ),
+        attr_uu=untile(uu) if full else None,
+        attr_vv=untile(vv) if full else None,
+        attr_mat=untile(matl) if full else None,
     )

@@ -33,8 +33,7 @@ from clraytracer_tpu.camera import ray_directions_planar
 from clraytracer_tpu.config import RenderConfig
 from clraytracer_tpu.diff import make_differentiable_tracer
 from clraytracer_tpu.ops.post import post_process
-from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
-from clraytracer_tpu.render import FrameInputs, Tracer
+from clraytracer_tpu.render import FrameInputs, Tracer, trace_best
 from clraytracer_tpu.scene.types import Scene
 
 AXIS = "devices"
@@ -87,7 +86,7 @@ def render_sharded(
     frame: FrameInputs,
     config: RenderConfig,
     mesh: Mesh | None = None,
-    tracer: Tracer = trace_wavefront,
+    tracer: Tracer = trace_best,
 ) -> Array:
     """Full frame sharded by rows over the mesh. Returns [H, W, 3] (global).
 
@@ -104,6 +103,12 @@ def render_sharded(
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(AXIS, None, None),
+        # the Pallas megakernel runs inside this shard_map; vma tracking is
+        # off because interpret-mode pallas (CPU tests/dryrun) evaluates the
+        # kernel body as jax ops whose interpreter-internal constants are
+        # replicated — check_vma rejects mixing them with varying ray tiles.
+        # Forward-only: no gradient-psum semantics depend on it here.
+        check_vma=False,
     )
     def shard_fn(scene_rep: Scene, frame_rep: FrameInputs) -> Array:
         idx = jax.lax.axis_index(AXIS)
@@ -165,7 +170,7 @@ def train_step_sharded(
     width: int | None = None,
     height: int | None = None,
     bounces: int = 2,
-    base_tracer: Tracer = trace_wavefront,
+    base_tracer: Tracer = trace_best,
 ) -> tuple[Array, Scene]:
     """One inverse-rendering SGD step, data-parallel over the mesh.
 
@@ -187,6 +192,15 @@ def train_step_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(AXIS, None, None)),
         out_specs=(P(), P()),
+        # vma tracking off so the Pallas megakernel (the default hit-finder
+        # of the differentiable tracer) can run inside — see render_sharded.
+        # Consequence for autodiff: WITHOUT vma tracking shard_map does NOT
+        # transpose the implicit replicated→varying broadcast of the params
+        # into a psum, so the per-device gradients below are LOCAL partials
+        # and the all-reduce is done explicitly (the explicit form also
+        # matches how the reference-free design doc describes the step:
+        # local grads → ICI psum → replicated update).
+        check_vma=False,
     )
     def step(scene_rep: Scene, frame_rep: FrameInputs, target_local: Array):
         idx = jax.lax.axis_index(AXIS)
@@ -202,12 +216,10 @@ def train_step_sharded(
 
         loss, grads = jax.value_and_grad(local_loss)(params)
         # ---- ICI all-reduce -----------------------------------------------
-        # loss is device-varying → explicit psum. The parameter gradients are
-        # already globally reduced: shard_map's autodiff transposes the
-        # implicit replicated→varying broadcast of the params into a psum
-        # over the mesh axis (verified: per-device grads equal the full-frame
-        # gradient), so psumming again would multiply by the mesh size.
+        # loss and the local gradient partials reduce over the mesh axis
+        # (one fused psum over the float-leaf pytree, overlapped by XLA)
         loss = jax.lax.psum(loss, AXIS)
+        grads = jax.lax.psum(grads, AXIS)
         denom = 1.0 / (height * width * 3)
         new_params = [
             p - lr * g.astype(p.dtype) * denom for p, g in zip(params, grads)

@@ -43,10 +43,29 @@ from clraytracer_tpu.scene.types import Scene
 #: Pallas path the ray-tile layout is then a pure reshape, no relayout.
 Tracer = Callable[[Scene, Array, Array], SceneHit]
 
+def trace_best(scene: Scene, origin: Array, direction: Array, **kw) -> SceneHit:
+    """Auto-select the fastest applicable tracer for this scene: the Pallas
+    tile/cluster megakernel when the scene was built with cluster tables,
+    else the portable XLA wavefront traversal. This is the default tracer
+    everywhere (CLI, sharded paths) — a fresh ``clrt render`` measures the
+    production path, with ``--tracer wavefront`` as the explicit fallback."""
+    return resolve_tracer(trace_best, scene)(scene, origin, direction, **kw)
+
+
+def resolve_tracer(tracer: Tracer, scene: Scene) -> Tracer:
+    """Resolve the ``trace_best`` sentinel against a concrete scene (its
+    cluster-table presence is a static pytree property, so this is a pure
+    Python branch under jit)."""
+    if tracer is trace_best:
+        return trace_pallas if scene.clusters is not None else trace_wavefront
+    return tracer
+
+
 TRACERS: dict[str, Tracer] = {
+    "best": trace_best,  # auto: pallas when cluster tables exist, else wavefront
     "brute": trace_brute,
     "bvh": trace_bvh,  # per-ray vmapped twin of the reference (CPU golden)
-    "wavefront": trace_wavefront,  # batched lock-step traversal (portable default)
+    "wavefront": trace_wavefront,  # batched lock-step traversal (portable fallback)
     "pallas": trace_pallas,  # TPU tile/cluster megakernel (fast path)
 }
 
@@ -150,6 +169,7 @@ def bounce_loop(
     trace, shade, and reflect per bounce without leaving VMEM; only the
     deferred skybox add runs in XLA (ops/render_pallas.py). Matches the
     two-phase path below to float precision (1080p frame 20.0 -> 6.9 ms)."""
+    tracer = resolve_tracer(tracer, scene)
     if tracer is trace_pallas and not enable_refraction:
         from clraytracer_tpu.ops.render_pallas import (
             fused_path_available,
@@ -273,8 +293,9 @@ def trace_image(
     loop's [3, rows, 128] layout (camera.ray_directions_tiled): each Pallas
     tracer tile covers a compact ``tile_rows x 128`` pixel rectangle, so
     per-tile culling actually prunes (a scanline-band tile spans the whole
-    image width and intersects most of the scene — measured 15.0 ms vs
-    __ ms/bounce at 1080p). The whole trace+shade loop runs relayout-free;
+    image width and intersects most of the scene — one such bounce measured
+    15.0 ms at 1080p, more than the 6.9 ms the WHOLE fused frame takes in
+    screen-tile order). The whole trace+shade loop runs relayout-free;
     the [H, W] image is materialized exactly once at the end by a pure
     reshape/transpose."""
     result, layout = _trace_tiled(
@@ -308,6 +329,7 @@ def _trace_tiled(
     index pixels inside it (post.vignette masks)."""
     from clraytracer_tpu.ops.trace_pallas import _tile_rows
 
+    tracer = resolve_tracer(tracer, scene)
     if tracer is trace_pallas and not enable_refraction:
         from clraytracer_tpu.ops import render_pallas as rp
         from clraytracer_tpu.ops.shade import _all_procedural

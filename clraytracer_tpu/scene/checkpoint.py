@@ -126,11 +126,26 @@ def _rebuild(prefix: str, arrays: dict, statics: dict) -> Any:
         return _dec_static(node["__static__"])
     cls = _CLASSES[node["__class__"]]
     kwargs = {}
+    missing_required = []
     for f in dataclasses.fields(cls):
         key = f"{prefix}.{f.name}"
         if key not in arrays and key not in statics:
-            continue  # field newer than this checkpoint: dataclass default
+            # field newer than this checkpoint: fall back to the dataclass
+            # default — but fail LOUDLY when there is none, instead of the
+            # opaque TypeError cls(**kwargs) would raise
+            if (
+                f.default is dataclasses.MISSING
+                and f.default_factory is dataclasses.MISSING
+            ):
+                missing_required.append(f.name)
+            continue
         kwargs[f.name] = _rebuild(key, arrays, statics)
+    if missing_required:
+        raise ValueError(
+            f"checkpoint is missing required field(s) "
+            f"{missing_required} of {cls.__name__} (saved by an older "
+            f"version — re-export the scene with the current code)"
+        )
     return cls(**kwargs)
 
 

@@ -368,7 +368,10 @@ def main() -> None:
                 scene, origin0 + acc * 1e-20, dirs0, variant=variant
             )
             # consume geometry + one attr; skip hit.tri (tri_gid take)
-            leaves = [hit.t, hit.u, hit.v, hit.attr_uu]
+            # (non-'full' variants return attr_* = None)
+            leaves = [hit.t, hit.u, hit.v]
+            if hit.attr_uu is not None:
+                leaves.append(hit.attr_uu)
             return acc * 0.5 + sum(jnp.sum(l) for l in leaves) * 1e-6
 
         return fn
@@ -525,7 +528,9 @@ def main() -> None:
                 scene, origin0 + acc * 1e-20, dirs0, rows=rows,
                 variant=variant,
             )
-            leaves = [hit.t, hit.u, hit.v, hit.attr_uu]
+            leaves = [hit.t, hit.u, hit.v]
+            if hit.attr_uu is not None:
+                leaves.append(hit.attr_uu)
             return acc * 0.5 + sum(jnp.sum(l) for l in leaves) * 1e-6
 
         return fn
