@@ -571,17 +571,33 @@ def _make_render_kernel(
                 # ~28 ms/frame at 1080p). Dead lanes pin their pool index
                 # to 0 / emit -2 (the row gather is coherence-bound);
                 # their coefficient is zero either way.
-                coef = [
-                    jnp.where(
-                        live,
-                        energy[c] * dif + float(atm[c]) * amb_m,
-                        0.0,
-                    )
-                    for c in range(3)
-                ]
+                #
+                # With GI the energy carry is texel-DEPENDENT (throughput
+                # multiplies the modulated color), so the coefficient
+                # splits: coefE = E*dif (x color_b x P_b in XLA, where
+                # P_b = prod of the previous bounces' colors) and
+                # coefA = atm*amb (x color_b only); the kernel's E carries
+                # only the texel-free 2*cosTheta weights.
+                if gi_on:
+                    coefs = [
+                        jnp.where(live, energy[c] * dif, 0.0)
+                        for c in range(3)
+                    ] + [
+                        jnp.where(live, float(atm[c]) * amb_m, 0.0)
+                        for c in range(3)
+                    ]
+                else:
+                    coefs = [
+                        jnp.where(
+                            live,
+                            energy[c] * dif + float(atm[c]) * amb_m,
+                            0.0,
+                        )
+                        for c in range(3)
+                    ]
                 if atlas_mode == 1:
                     defer_out.append(
-                        (
+                        [
                             jax.lax.bitcast_convert_type(
                                 jnp.where(
                                     live,
@@ -590,18 +606,16 @@ def _make_render_kernel(
                                 ),
                                 jnp.float32,
                             ),
-                            [
-                                jnp.round(
-                                    jnp.clip(alb[c], 0.0, 1.0) * 255.0
-                                )
-                                for c in range(3)
-                            ],
-                            coef,
-                        )
+                        ]
+                        + [
+                            jnp.round(jnp.clip(alb[c], 0.0, 1.0) * 255.0)
+                            for c in range(3)
+                        ]
+                        + coefs
                     )
                 else:
                     defer_out.append(
-                        (
+                        [
                             jnp.where(
                                 live,
                                 mat_idf,
@@ -609,8 +623,8 @@ def _make_render_kernel(
                             ),
                             uu,
                             vv,
-                            coef,
-                        )
+                        ]
+                        + coefs
                     )
             for c in range(3):
                 if atlas_mode:
@@ -623,9 +637,15 @@ def _make_render_kernel(
                 result[c] = jnp.where(live, result[c] + contrib, result[c])
                 if gi_on:
                     # diffuse GI throughput: albedo * 2*cosTheta (uniform-
-                    # hemisphere estimator weight), not the specular carry
+                    # hemisphere estimator weight), not the specular carry.
+                    # Atlas modes defer the color factor: E carries only
+                    # the texel-free weight; _finish_frame multiplies the
+                    # per-bounce color product P back in.
                     energy[c] = jnp.where(
-                        live, energy[c] * color[c] * gi_weight, energy[c]
+                        live,
+                        energy[c] * (gi_weight if atlas_mode
+                                     else color[c] * gi_weight),
+                        energy[c],
                     )
                 else:
                     energy[c] = jnp.where(
@@ -646,29 +666,13 @@ def _make_render_kernel(
             out_ref[c * ROWS : (c + 1) * ROWS, :] = result[c]
             out_ref[(3 + c) * ROWS : (4 + c) * ROWS, :] = men[c]
             out_ref[(6 + c) * ROWS : (7 + c) * ROWS, :] = mdir[c]
-        # deferred blocks: mode 1 = idx | mat_b rgb | coef rgb (7);
-        # mode 2 = mat id | uu | vv | coef rgb (6)
-        if atlas_mode == 1:
-            for b, (idxf, mat_b, coef) in enumerate(defer_out):
-                base = 9 + 7 * b
-                out_ref[base * ROWS : (base + 1) * ROWS, :] = idxf
-                for c in range(3):
-                    out_ref[
-                        (base + 1 + c) * ROWS : (base + 2 + c) * ROWS, :
-                    ] = mat_b[c]
-                    out_ref[
-                        (base + 4 + c) * ROWS : (base + 5 + c) * ROWS, :
-                    ] = coef[c]
-        elif atlas_mode == 2:
-            for b, (mid, buu, bvv, coef) in enumerate(defer_out):
-                base = 9 + 6 * b
-                out_ref[base * ROWS : (base + 1) * ROWS, :] = mid
-                out_ref[(base + 1) * ROWS : (base + 2) * ROWS, :] = buu
-                out_ref[(base + 2) * ROWS : (base + 3) * ROWS, :] = bvv
-                for c in range(3):
-                    out_ref[
-                        (base + 3 + c) * ROWS : (base + 4 + c) * ROWS, :
-                    ] = coef[c]
+        # deferred blocks, written in emit order: mode 1 = idx | mat_b
+        # rgb | coef rgb (7; +coefA rgb with GI = 10); mode 2 = mat id |
+        # uu | vv | coef rgb (6; +coefA rgb with GI = 9)
+        for b, blocks in enumerate(defer_out):
+            base = 9 + len(blocks) * b
+            for k, blk in enumerate(blocks):
+                out_ref[(base + k) * ROWS : (base + k + 1) * ROWS, :] = blk
 
     return kernel
 
@@ -719,7 +723,11 @@ def _render_tiles(
         False if on_tpu
         else (pltpu.InterpretParams() if stream else True)
     )
-    n_out = 9 + (7, 6)[atlas_mode - 1] * bounces if atlas_mode else 9
+    n_blocks = (
+        0 if not atlas_mode
+        else (7, 6)[atlas_mode - 1] + (3 if gis is not None else 0)
+    )
+    n_out = 9 + n_blocks * bounces
     tile_spec = pl.BlockSpec(
         (None, ROWS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -817,6 +825,7 @@ def _finish_frame(
     rows: int,
     bounces: int,
     atlas_mode: int = 0,
+    gi: bool = False,
 ) -> Array:
     """Shared XLA tail of the fused frame: deferred texel fetch per bounce
     when ``extra`` is present, then the deferred skybox add.
@@ -839,7 +848,7 @@ def _finish_frame(
     pk = scene.packed
     sky_idx = _skybox_index(pk.skybox_w, pk.skybox_h, pk.skybox_off, mdir)
     if extra is not None:
-        K = (7, 6)[atlas_mode - 1]
+        K = (7, 6)[atlas_mode - 1] + (3 if gi else 0)
         rows_total = res.shape[1]
         ex = (
             extra.reshape(n_tiles, K * bounces, rows, 128)
@@ -849,21 +858,23 @@ def _finish_frame(
         if atlas_mode == 1:
             raw = jnp.stack(
                 [
-                    jax.lax.bitcast_convert_type(ex[7 * b], jnp.int32)
+                    jax.lax.bitcast_convert_type(ex[K * b], jnp.int32)
                     for b in range(bounces)
                 ]
             )
             miss_all = raw < 0
+            hit_all = raw >= 0  # (dead lanes emit 0: P-safe, coefs zero)
             tex_idx = raw
             mat_b = jnp.stack(
-                [ex[7 * b + 1 : 7 * b + 4] for b in range(bounces)], axis=1
+                [ex[K * b + 1 : K * b + 4] for b in range(bounces)], axis=1
             )  # [3, B, rows, 128]
-            coefs = [ex[7 * b + 4 : 7 * b + 7] for b in range(bounces)]
+            coefs = [ex[K * b + 4 : K * b + 7] for b in range(bounces)]
+            coefs_a = [ex[K * b + 7 : K * b + 10] for b in range(bounces)]
         else:
             # one one-hot material-row gather over every bounce's lanes
             # (the -1 miss / -2 dead sentinels clamp to row 0, whose
             # values are discarded by the zero coefficients)
-            mid_all = jnp.stack([ex[6 * b] for b in range(bounces)])
+            mid_all = jnp.stack([ex[K * b] for b in range(bounces)])
             mat = onehot_rows(
                 pk.mat_rows, mid_all.astype(jnp.int32)
             )  # [16, B, rows, 128]
@@ -871,19 +882,21 @@ def _finish_frame(
             off_i = mat[10].astype(jnp.int32) * (
                 1 << _OFF_SHIFT
             ) + mat[11].astype(jnp.int32)  # hi/lo split (ops/shade.py)
-            uu = jnp.stack([ex[6 * b + 1] for b in range(bounces)])
-            vv = jnp.stack([ex[6 * b + 2] for b in range(bounces)])
+            uu = jnp.stack([ex[K * b + 1] for b in range(bounces)])
+            vv = jnp.stack([ex[K * b + 2] for b in range(bounces)])
             # shade._pool_index, op for op (wrap + truncating scale)
             ui = ((uu - jnp.floor(uu)) * aw).astype(jnp.int32)
             vi = ((vv - jnp.floor(vv)) * ah).astype(jnp.int32)
             miss_all = mid_all == -1.0
+            hit_all = mid_all >= 0.0
             tex_idx = jnp.where(
-                mid_all >= 0.0,
+                hit_all,
                 vi * aw.astype(jnp.int32) + ui + off_i,
                 0,
             )
             mat_b = jnp.round(jnp.clip(mat[0:3], 0.0, 1.0) * 255.0)
-            coefs = [ex[6 * b + 3 : 6 * b + 6] for b in range(bounces)]
+            coefs = [ex[K * b + 3 : K * b + 6] for b in range(bounces)]
+            coefs_a = [ex[K * b + 6 : K * b + 9] for b in range(bounces)]
         # lanes that missed at this bounce (sentinel -1 / mid -1) fetch
         # their skybox texel through the SAME combined gather — a lane
         # misses at most once, so summing the miss-masked texels
@@ -915,9 +928,27 @@ def _finish_frame(
         tex_b = jnp.round(tex_all * 255.0)
         color = jnp.floor(mat_b * tex_b * (1.0 / 256.0)) * _U8
         sky = jnp.zeros_like(res)
-        for b in range(bounces):
-            res = res + coefs[b] * color[:, b]
-            sky = jnp.where(miss_all[b][None], sky + tex_all[:, b], sky)
+        if gi:
+            # GI energy is texel-dependent: fold the per-lane running color
+            # product P back into the deferred coefficients (coefE rides
+            # E*dif and needs x color_b x P_b; coefA = ambient needs
+            # x color_b only; the sky a lane saw at its miss bounce is also
+            # scaled by its P there)
+            P = jnp.ones_like(res)
+            for b in range(bounces):
+                res = (
+                    res
+                    + coefs[b] * color[:, b] * P
+                    + coefs_a[b] * color[:, b]
+                )
+                sky = jnp.where(
+                    miss_all[b][None], sky + tex_all[:, b] * P, sky
+                )
+                P = jnp.where(hit_all[b][None], P * color[:, b], P)
+        else:
+            for b in range(bounces):
+                res = res + coefs[b] * color[:, b]
+                sky = jnp.where(miss_all[b][None], sky + tex_all[:, b], sky)
     else:
         sky = _eval_skybox_inline(scene, sky_idx, pk.skybox_w, pk.skybox_off)
     return res + sky * men
@@ -986,9 +1017,6 @@ def render_fused(
     atlas_mode = 0 if _all_procedural(scene) else (
         1 if scene.materials.count <= MAX_FUSED_MATERIALS else 2
     )
-    assert gi_seed is None or atlas_mode == 0, (
-        "in-kernel GI needs the texel in-register (all-procedural scenes)"
-    )
     tex_descs = () if atlas_mode else tuple(
         (off >> _OFF_SHIFT, off & ((1 << _OFF_SHIFT) - 1), desc)
         for _h, off, desc in scene.procedural_tex
@@ -1037,7 +1065,8 @@ def render_fused(
     # arctan2/arccos keep bit-parity with the two-phase/golden paths;
     # misses terminate rays, so one add suffices
     return _finish_frame(
-        scene, res, men, mdir, extra, n_tiles, ROWS, bounces, atlas_mode
+        scene, res, men, mdir, extra, n_tiles, ROWS, bounces, atlas_mode,
+        gi=gi_seed is not None,
     )
 
 
@@ -1083,9 +1112,6 @@ def render_fused_camera(
     ranges = tuple(clusters.mesh_ranges[int(mi)] for mi in mesh_idx)
     atlas_mode = 0 if _all_procedural(scene) else (
         1 if scene.materials.count <= MAX_FUSED_MATERIALS else 2
-    )
-    assert gi_seed is None or atlas_mode == 0, (
-        "in-kernel GI needs the texel in-register (all-procedural scenes)"
     )
     tex_descs = () if atlas_mode else tuple(
         (off >> _OFF_SHIFT, off & ((1 << _OFF_SHIFT) - 1), desc)
@@ -1137,6 +1163,7 @@ def render_fused_camera(
 
     res, men, mdir = untile3(res), untile3(men), untile3(mdir)
     img = _finish_frame(
-        scene, res, men, mdir, extra, n_tiles, ROWS, bounces, atlas_mode
+        scene, res, men, mdir, extra, n_tiles, ROWS, bounces, atlas_mode,
+        gi=gi_seed is not None,
     )
     return img, (trows, tiles_x, tiles_y)

@@ -175,14 +175,10 @@ def bounce_loop(
             fused_path_available,
             render_fused,
         )
-        from clraytracer_tpu.ops.shade import _all_procedural
-
-        # GI runs IN-KERNEL (bit-identical RNG streams to the XLA path)
-        # when shading is fully in-register (all-procedural textures: the
-        # diffuse throughput update needs the texel); atlas scenes fall
-        # back to the two-phase path below
-        gi_ok = not enable_gi or _all_procedural(scene)
-        if gi_ok and fused_path_available(
+        # GI runs IN-KERNEL (bit-identical RNG streams to the XLA path);
+        # atlas scenes defer the texel-dependent throughput factor to
+        # _finish_frame's color-product pass (render_pallas.py)
+        if fused_path_available(
             scene, reference_parity, integer_colors
         ):
             return render_fused(scene, origin, direction, sun_angle, bounces,
@@ -332,10 +328,8 @@ def _trace_tiled(
     tracer = resolve_tracer(tracer, scene)
     if tracer is trace_pallas and not enable_refraction:
         from clraytracer_tpu.ops import render_pallas as rp
-        from clraytracer_tpu.ops.shade import _all_procedural
 
-        gi_ok = not enable_gi or _all_procedural(scene)
-        if gi_ok and rp.fused_path_available(
+        if rp.fused_path_available(
             scene, reference_parity, integer_colors
         ):
             # in-kernel raygen: no per-ray inputs at all (render_pallas)

@@ -75,3 +75,34 @@ def test_viewer_endpoints(viewer):
     # a fly step moves the camera: consecutive frames differ
     f2 = _get("/frame?mx=0&my=0&r=0&u=0&f=1")
     assert f2 != frame
+
+
+def test_viewer_resource_panel(viewer):
+    """The editor's scene-tree/resource panel (ResourceWindow.cpp
+    analogue): resources listing, texture thumbnails, file browser,
+    hot-swap open."""
+    res = json.loads(_get("/resources"))
+    assert res["summary"]["instances"] == 2
+    assert len(res["meshes"]) == 2
+    assert res["meshes"][0]["tris"] > 0
+    assert len(res["instances"]) == 2
+    # conftest 'two' scene: sphere instance translated to (-2, 1, 0)
+    assert res["instances"][0]["position"][0] == pytest.approx(-2.0, abs=1e-3)
+    assert len(res["textures"]) >= 3
+    assert len(res["materials"]) >= 3
+
+    thumb = _get("/thumb?i=2")
+    assert thumb[:8] == b"\x89PNG\r\n\x1a\n"
+
+    files = json.loads(_get("/files"))
+    assert "dir" in files and isinstance(files["dirs"], list)
+
+    # hot-swap the scene to 'sphere' (one mesh, one instance), then back
+    out = json.loads(_get("/open?path=sphere", timeout=300))
+    assert out["instances"] == 1
+    res2 = json.loads(_get("/resources"))
+    assert res2["summary"]["instances"] == 1
+    frame = _get("/frame?mx=0&my=0&r=0&u=0&f=0", timeout=300)
+    assert frame[:8] == b"\x89PNG\r\n\x1a\n"
+    out = json.loads(_get("/open?path=two", timeout=300))
+    assert out["instances"] == 2

@@ -9,6 +9,16 @@ material color editor (SceneBuilder.edit_material → refresh on next frame,
 the PushMaterialsToGPU analogue). Click to pick (CPU_RayCast analogue —
 reports the hit instance/triangle/distance under the cursor).
 
+Editor panels beyond input (the Editor/ResourceWindow.cpp:15-120 analogue):
+
+* **Resources** — the scene tree: meshes (tri ranges/BVH roots), instances
+  (mesh + world position), materials (full records), and textures with
+  live thumbnails rendered from the texel pool (``/thumb``).
+* **Files** — an asset browser over the allowed roots (cwd + the reference
+  Assets dir); clicking a ``.obj``/``.clm``/``.clsnap.npz`` or a named
+  scene hot-swaps the running scene (the drag-drop-import analogue,
+  GUI.cpp:77-136).
+
 Run:
     python tools/live_viewer.py --scene two --width 480 --height 320 --port 8765
 Then open http://localhost:8765/.
@@ -42,6 +52,8 @@ _PAGE = """<!doctype html>
   <div id="mats"></div>
   <pre id="pick"></pre>
   <pre id="stats"></pre>
+  <details open><summary>Resources</summary><div id="res"></div></details>
+  <details><summary>Files</summary><div id="files"></div></details>
 </div>
 <script>
 const v = document.getElementById('v');
@@ -70,6 +82,41 @@ async function loadMats() {
     `onchange="fetch('/material?i=${i}&c=' + encodeURIComponent(this.value))"></div>`).join('');
 }
 loadMats();
+async function loadRes() {
+  const r = await (await fetch('/resources')).json();
+  const el = document.getElementById('res');
+  const mesh = r.meshes.map(m =>
+    `<div>mesh ${m.index}: ${m.tris} tris @${m.tri_start} (bvh root ${m.root})</div>`).join('');
+  const inst = r.instances.map(i =>
+    `<div>inst ${i.index}: mesh ${i.mesh} mat+${i.material_start} ` +
+    `pos (${i.position.map(p=>p.toFixed(1)).join(', ')})</div>`).join('');
+  const tex = r.textures.map(t =>
+    `<div><img src="/thumb?i=${t.index}" width="32" height="32" ` +
+    `style="vertical-align:middle;image-rendering:pixelated"> ` +
+    `tex ${t.index}: ${t.w}x${t.h}${t.procedural ? ' (procedural)' : ''}</div>`).join('');
+  const mats = r.materials.map(m =>
+    `<div>mat ${m.index}: shin ${m.shininess} rough ${m.roughness} ` +
+    `tex ${m.albedo_tex}/${m.specular_tex}</div>`).join('');
+  el.innerHTML = `<b>${r.summary.triangles} tris &middot; ` +
+    `${r.summary.bvh_nodes} bvh nodes &middot; ${r.summary.texels} texels</b>` +
+    mesh + inst + tex + mats;
+}
+loadRes();
+async function loadFiles(dir) {
+  const r = await (await fetch('/files' + (dir ? '?dir=' + encodeURIComponent(dir) : ''))).json();
+  const el = document.getElementById('files');
+  el.innerHTML = `<div><b>${r.dir}</b></div>` +
+    (r.up ? `<div><a href="#" onclick="loadFiles('${r.up}');return false">..</a></div>` : '') +
+    r.dirs.map(d => `<div><a href="#" onclick="loadFiles('${d.path}');return false">[${d.name}]</a></div>`).join('') +
+    r.files.map(f => `<div><a href="#" onclick="openScene('${f.path}');return false">${f.name}</a></div>`).join('');
+}
+loadFiles('');
+async function openScene(p) {
+  document.getElementById('stats').textContent = 'loading ' + p + ' ...';
+  const r = await (await fetch('/open?path=' + encodeURIComponent(p))).json();
+  document.getElementById('stats').textContent = JSON.stringify(r);
+  loadMats(); loadRes();
+}
 async function loop() {
   if (busy) return;
   busy = true;
@@ -94,7 +141,7 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=480)
     ap.add_argument("--height", type=int, default=320)
     ap.add_argument("--port", type=int, default=8765)
-    ap.add_argument("--tracer", default="wavefront")
+    ap.add_argument("--tracer", default="best")
     ap.add_argument("--shadows", action="store_true",
                     help="sun shadow rays (beyond the reference)")
     ap.add_argument("--refraction", action="store_true",
@@ -131,6 +178,12 @@ def main() -> None:
         tracer=args.tracer,
     )
     lock = threading.Lock()
+
+    # asset-browser sandbox: only these roots are listable/openable
+    _roots = [Path.cwd().resolve()]
+    _ref_assets = Path("/root/reference/CLRayTracer/Assets")
+    if _ref_assets.exists():
+        _roots.append(_ref_assets.resolve())
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -202,6 +255,147 @@ def main() -> None:
                     for i in range(n)
                 ]
                 self._send(json.dumps(hexes).encode(), "application/json")
+            elif path == "/resources":
+                # scene-tree panel data (ResourceWindow.cpp:15-120 analogue)
+                from clraytracer_tpu.scene.types import scene_summary
+
+                with lock:
+                    s = engine.scene
+                    bvh = s.bvh
+                    inv = np.asarray(s.instances.inverse_transform)
+                    mstart = np.asarray(s.instances.material_start)
+                    alb_tex = np.asarray(s.materials.albedo_tex)
+                    spec_tex = np.asarray(s.materials.specular_tex)
+                    shin = np.asarray(s.materials.shininess)
+                    rough = np.asarray(s.materials.roughness)
+                    tw = np.asarray(s.atlas.width)
+                    th = np.asarray(s.atlas.height)
+                    toff = np.asarray(s.atlas.offset)
+                    proc = {h for h, _, _ in s.procedural_tex}
+                    out = {
+                        "summary": scene_summary(s),
+                        "meshes": [
+                            {
+                                "index": k,
+                                "root": int(bvh.roots[k]),
+                                "tri_start": int(bvh.mesh_tri_start[k]),
+                                "tris": int(bvh.mesh_tri_count[k]),
+                            }
+                            for k in range(len(bvh.roots))
+                        ],
+                        "instances": [
+                            {
+                                "index": k,
+                                "mesh": int(s.instances.mesh_index[k]),
+                                "material_start": int(mstart[k]),
+                                # world position = translation row of the
+                                # forward transform (row-vector convention)
+                                "position": [
+                                    round(float(p), 3)
+                                    for p in np.linalg.inv(inv[k])[3, :3]
+                                ],
+                            }
+                            for k in range(int(s.instances.count))
+                        ],
+                        "textures": [
+                            {
+                                "index": k,
+                                "w": int(tw[k]),
+                                "h": int(th[k]),
+                                "offset": int(toff[k]),
+                                "procedural": k in proc,
+                            }
+                            for k in range(int(s.atlas.num_textures))
+                        ],
+                        "materials": [
+                            {
+                                "index": k,
+                                "shininess": round(float(shin[k]), 3),
+                                "roughness": round(float(rough[k]), 3),
+                                "albedo_tex": int(alb_tex[k]),
+                                "specular_tex": int(spec_tex[k]),
+                            }
+                            for k in range(int(s.materials.count))
+                        ],
+                    }
+                self._send(json.dumps(out).encode(), "application/json")
+            elif path == "/thumb":
+                # texture thumbnail straight from the texel pool (every
+                # texture, procedural included, is baked into the pool)
+                i = int(q["i"])
+                with lock:
+                    s = engine.scene
+                    w = int(np.asarray(s.atlas.width)[i])
+                    h = int(np.asarray(s.atlas.height)[i])
+                    off = int(np.asarray(s.atlas.offset)[i])
+                    tex = np.asarray(s.atlas.texels[off : off + w * h, :3])
+                img = (np.clip(tex.reshape(h, w, 3), 0, 1) * 255).astype(
+                    np.uint8
+                )
+                side = 32
+                ys = (np.arange(side) * h) // side
+                xs = (np.arange(side) * w) // side
+                buf = io.BytesIO()
+                Image.fromarray(img[ys][:, xs]).save(buf, "PNG")
+                self._send(buf.getvalue(), "image/png",
+                           [("Cache-Control", "max-age=5")])
+            elif path == "/files":
+                # asset browser over the allowed roots (folder tree +
+                # extension filter, ResourceWindow.cpp:15-120)
+                d = q.get("dir", "") or str(_roots[0])
+                p = Path(d).resolve()
+                if not any(
+                    p == r or r in p.parents for r in _roots
+                ) or not p.is_dir():
+                    p = _roots[0]
+                exts = {".obj", ".clm", ".npz"}
+                dirs = sorted(
+                    x for x in p.iterdir()
+                    if x.is_dir() and not x.name.startswith(".")
+                )
+                files = sorted(
+                    x for x in p.iterdir()
+                    if x.is_file() and x.suffix.lower() in exts
+                )
+                up = p.parent if any(
+                    r in p.parents or p == r for r in _roots
+                ) and p not in _roots else None
+                self._send(json.dumps({
+                    "dir": str(p),
+                    "up": str(up) if up else None,
+                    "dirs": [{"name": x.name, "path": str(x)} for x in dirs],
+                    "files": [
+                        {"name": x.name, "path": str(x)} for x in files
+                    ],
+                }).encode(), "application/json")
+            elif path == "/open":
+                # hot-swap the running scene (drag-drop-import analogue,
+                # GUI.cpp:77-136): any named scene or allowed asset path
+                from clraytracer_tpu.cli import build_scene
+
+                spec = q["path"]
+                p = Path(spec)
+                if p.exists():
+                    rp = p.resolve()
+                    if not any(
+                        rp == r or r in rp.parents for r in _roots
+                    ):
+                        self.send_error(403)
+                        return
+                    spec = str(rp)
+                try:
+                    new_scene = build_scene(spec)
+                except SystemExit as e:
+                    self._send(json.dumps({"error": str(e)}).encode(),
+                               "application/json")
+                    return
+                from clraytracer_tpu.scene.types import scene_summary
+
+                with lock:
+                    engine.scene = new_scene
+                self._send(json.dumps({
+                    "loaded": spec, **scene_summary(new_scene)
+                }).encode(), "application/json")
             elif path == "/material":
                 # live material edit (ResourceManager.cpp:102-128 analogue):
                 # update the albedo row + refresh the packed tables
