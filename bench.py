@@ -100,16 +100,19 @@ def main() -> None:
         return _bench_grads(args, scene, frame, config, scene_label)
 
     if args.gi:
-        from clraytracer_tpu.ops.shade import _all_procedural
+        from clraytracer_tpu.ops.render_pallas import fused_path_available
 
-        if not _all_procedural(scene):
-            # atlas-texture GI takes the two-phase path, whose fori-chained
-            # program trips an axon-backend bug on its second invocation at
-            # 1080p-scale (identical executable + args; unchained repeated
-            # renders are fine — verified 2026-08-20): host-chain dependent
-            # frames instead. Per-dispatch tunnel overhead makes that an
-            # UPPER bound on frame time. Procedural scenes run GI in the
-            # fused kernel and use the normal chained timing below.
+        if tracer_name not in ("pallas", "best") or not fused_path_available(
+            scene, config.reference_parity_shading, config.integer_colors
+        ):
+            # GI through the TWO-PHASE path only (fused unavailable): its
+            # fori-chained program trips an axon-backend bug on its second
+            # invocation at 1080p-scale (identical executable + args;
+            # unchained repeated renders are fine — verified 2026-08-20):
+            # host-chain dependent frames instead. Per-dispatch tunnel
+            # overhead makes that an UPPER bound on frame time. Fused GI
+            # (procedural AND atlas scenes, via the deferred color-product
+            # pass) uses the normal chained timing below.
             return _bench_gi_hostchain(args, scene, frame, config, scene_label)
 
     # Honest timing on a tunneled TPU: block_until_ready can return before

@@ -49,6 +49,11 @@ def take_rows(table: Array, idx: Array) -> Array:
     return rows.T.reshape((table.shape[1],) + idx.shape)
 
 
+#: ray counts at or above this use the sorted-segment backward for pool
+#: gathers on TPU (below it, compile cost + fixed sort overhead dominate)
+SORTED_VJP_MIN_N = 1 << 20
+
+
 def take_rgb(pool: Array, idx: Array) -> Array:
     """Row-gather an RGB pool ``[P, 3|4]`` at ``idx [...]`` → planar
     ``[3, ...]``.
@@ -60,11 +65,69 @@ def take_rgb(pool: Array, idx: Array) -> Array:
     itself measured neutral at 2M random indices on v5e (~41 ms either
     way): the TPU gather is latency-bound, not width-bound; in-frame cost
     is coherence-dependent (3.7 ms for primary-hit UVs vs 22.6 ms for
-    reflection UVs at 1080p). Differentiable (VJP = scatter-add).
+    reflection UVs at 1080p).
+
+    Differentiable. On TPU at frame-scale index counts the backward uses
+    the sorted-segment pipeline (:func:`take_rows_sorted_vjp`) instead of
+    XLA's per-update-serialized scatter-add — measured 43 vs 63 ms for 4M
+    updates into a 147k-row pool (tools/scatter_bench.py).
     """
     if pool.shape[1] == 3:
         pool = jnp.pad(pool, ((0, 0), (0, 1)))
+    if (
+        jax.default_backend() == "tpu"
+        and idx.size >= SORTED_VJP_MIN_N
+    ):
+        return take_rows_sorted_vjp(pool, idx)[:3]
     return take_rows(pool, idx)[:3]
+
+
+@jax.custom_vjp
+def take_rows_sorted_vjp(table: Array, idx: Array) -> Array:
+    """:func:`take_rows` with a sort-based table VJP.
+
+    XLA lowers TPU scatter-add per update (~16 ns each — 63 ms for the
+    4M texel-pool updates of a 1080p 2-bounce differentiable frame, the
+    single largest term of the fwd+bwd step). The backward here is all
+    dense/log-depth primitives instead:
+
+      sort (idx, g) by idx  →  cumsum  →  searchsorted(row boundaries)
+      →  adjacent difference = per-row segment sums
+
+    Measured 42.8 ms for the same shape (14.4 sort + 3.3 cumsum + 14.0
+    searchsorted + gathers; tools/scatter_bench.py ``extra``). Summation
+    ORDER differs from the scatter (f32 rounding differs in ulps), which
+    is within every gradient tolerance used here.
+    """
+    return take_rows(table, idx)
+
+
+def _take_rows_sorted_fwd(table, idx):
+    return take_rows(table, idx), (
+        idx, table.shape[0], table.shape[1], table[:0, :0]
+    )
+
+
+def _take_rows_sorted_bwd(res, g):
+    idx, num_rows, width, table_proto = res
+    flat = jnp.clip(idx.reshape(-1), 0, num_rows - 1)
+    gf = g.astype(jnp.float32).reshape(width, -1)  # [W, N]
+    ops = [flat] + [gf[k] for k in range(width)]
+    out = jax.lax.sort(ops, num_keys=1)
+    si = out[0]
+    c = jnp.cumsum(jnp.stack(out[1:], axis=1), axis=0)  # [N, W]
+    # pos[r] = first sorted position with si >= r; rows' segment sums are
+    # then adjacent differences of the (zero-padded) cumsum at boundaries
+    pos = jnp.searchsorted(
+        si, jnp.arange(num_rows + 1, dtype=si.dtype), side="left"
+    )  # [P+1]
+    cpad = jnp.concatenate([jnp.zeros((1, width), c.dtype), c], axis=0)
+    bounds = jnp.take(cpad, pos, axis=0)  # [P+1, W]
+    d_table = bounds[1:] - bounds[:-1]
+    return _reduce_to_table_vma(d_table, g, table_proto), None
+
+
+take_rows_sorted_vjp.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)
 
 
 def onehot_rows(table: Array, idx: Array) -> Array:

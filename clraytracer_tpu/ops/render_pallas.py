@@ -173,7 +173,10 @@ def _make_render_kernel(
             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref = refs[:6]
             rest = refs[6:]
         else:
-            cam_ref = refs[0]  # SMEM [1, 35]: invProj(16) | invView(16) | pos(3)
+            cam_ref = refs[0]  # SMEM [1, 36]: invProj(16) | invView(16) |
+            #   pos(3) | row0 (first GLOBAL pixel row this call renders —
+            #   0 for a full frame; a shard's row-window offset under
+            #   shard_map, so each device raygens its own rows in-kernel)
             rest = refs[1:]
         (
             inst_ref,  # [I, 17] inverse transform (row-major) | material_start
@@ -240,7 +243,9 @@ def _make_render_kernel(
             lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, 128), 1)
             tile = r // trows
             px = ((tile % tiles_x) * 128 + lane).astype(jnp.float32)
-            py = ((tile // tiles_x) * trows + r % trows).astype(jnp.float32)
+            py = (
+                (tile // tiles_x) * trows + r % trows
+            ).astype(jnp.float32) + cam_ref[0, 35]
             cx = (px / width) * 2.0 - 1.0
             cy = (py / height) * 2.0 - 1.0
             ip = [cam_ref[0, k] for k in range(16)]
@@ -1079,6 +1084,8 @@ def render_fused_camera(
     rows: int | None = None,
     enable_shadows: bool = False,
     gi_seed: int | None = None,
+    row0: Array | None = None,
+    local_height: int | None = None,
 ) -> tuple[Array, tuple[int, int, int]]:
     """Fused frame with **in-kernel raygen** → ([3, rows_total, 128]
     radiance in trows x 128 screen-strip order, (trows, tiles_x, tiles_y))
@@ -1089,12 +1096,19 @@ def render_fused_camera(
     HBM traffic is the 9-field output block. Replaces ray_directions_tiled +
     render_fused for the flagship path; callers must check
     :func:`fused_path_available` first.
+
+    ``row0``/``local_height``: render only the ``local_height``-row window
+    starting at GLOBAL pixel row ``row0`` (traced) — the shard_map row
+    shard's view of the frame (parallel/sharding.render_sharded). The
+    unprojection still uses the full-frame ``height``, so a shard's pixels
+    are bit-identical to the full frame's.
     """
     from clraytracer_tpu.ops.shade import _OFF_SHIFT, _all_procedural
 
-    trows = _tile_rows(width * height)
+    win_height = local_height if local_height is not None else height
+    trows = _tile_rows(width * win_height)
     tiles_x = -(-width // 128)
-    tiles_y = -(-height // trows)
+    tiles_y = -(-win_height // trows)
     rows_total = tiles_y * tiles_x * trows
     clusters = scene.clusters
     ROWS = (
@@ -1123,8 +1137,10 @@ def render_fused_camera(
             jnp.asarray(frame.inverse_projection, jnp.float32).reshape(-1),
             jnp.asarray(frame.inverse_view, jnp.float32).reshape(-1),
             jnp.asarray(frame.camera_position, jnp.float32).reshape(-1),
+            jnp.zeros((1,), jnp.float32) if row0 is None
+            else jnp.asarray(row0, jnp.float32).reshape(1),
         ]
-    ).reshape(1, 35)
+    ).reshape(1, 36)
     sun = jnp.stack(
         [jnp.sin(frame.sun_angle), jnp.cos(frame.sun_angle)]
     ).astype(jnp.float32).reshape(1, 2)

@@ -98,6 +98,23 @@ def render_sharded(
     h_pad = _pad_rows(config.height, n)
     local_rows = h_pad // n
 
+    # the production configuration runs the CAMERA-MODE fused megakernel
+    # per shard: in-kernel raygen of the shard's GLOBAL row window (the
+    # kernel's cam row carries row0), zero per-ray input traffic, and the
+    # same screen-tile order as the single-chip flagship path — the
+    # ray-mode fallback below renders scanline-band tiles spanning the
+    # whole image width, which the tile culling cannot prune (measured
+    # ~4x slower at 1080p)
+    from clraytracer_tpu.ops.render_pallas import fused_path_available
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
+    from clraytracer_tpu.render import resolve_tracer
+
+    use_fused_cam = resolve_tracer(
+        tracer, scene
+    ) is trace_pallas and fused_path_available(
+        scene, config.reference_parity_shading, config.integer_colors
+    )
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -112,6 +129,25 @@ def render_sharded(
     )
     def shard_fn(scene_rep: Scene, frame_rep: FrameInputs) -> Array:
         idx = jax.lax.axis_index(AXIS)
+        if use_fused_cam:
+            from clraytracer_tpu.ops import planar
+            from clraytracer_tpu.ops import render_pallas as rp
+            from clraytracer_tpu.render import _untile
+
+            result, (trows, tiles_x, tiles_y) = rp.render_fused_camera(
+                scene_rep,
+                frame_rep,
+                config.width,
+                config.height,
+                config.bounces,
+                row0=idx * local_rows,
+                local_height=local_rows,
+            )
+            img = _untile(
+                result, ("strip", trows, tiles_x, tiles_y),
+                local_rows, config.width,
+            )
+            return planar.to_last(img, (local_rows, config.width))
         return _shade_rows(
             scene_rep,
             frame_rep,

@@ -62,3 +62,29 @@ def test_refresh_packed_tracks_material_edit(sphere_scene):
     )
     # skybox statics carry over
     assert refreshed.packed.skybox_w == sphere_scene.packed.skybox_w
+
+
+def test_take_rows_sorted_vjp_matches_scatter():
+    """The sort-based table VJP (TPU frame-scale backward for pool
+    gathers) must match the scatter-add VJP: same values, same gradients
+    (up to summation-order ulps)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from clraytracer_tpu.ops import gather
+
+    rng = np.random.default_rng(0)
+    P, W = 1000, 4
+    table = jnp.asarray(rng.standard_normal((P, W)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(-5, P + 5, size=(50, 100)).astype(np.int32))
+    cot = jnp.asarray(rng.standard_normal((W, 50, 100)).astype(np.float32))
+
+    f1 = lambda t: jnp.sum(gather.take_rows(t, idx) * cot)
+    f2 = lambda t: jnp.sum(gather.take_rows_sorted_vjp(t, idx) * cot)
+    v1, g1 = jax.value_and_grad(f1)(table)
+    v2, g2 = jax.value_and_grad(f2)(table)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5
+    )

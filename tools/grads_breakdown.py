@@ -116,6 +116,46 @@ def main() -> None:
         return fn
 
     timed("fwd only (diff path, no grad)", fwd_only)
+
+    # ---- forward-stage ablations (monkeypatched fakes, same shapes) -----
+    from clraytracer_tpu.ops import gather as _gather
+
+    real_take_rgb = _gather.take_rgb
+    real_take_rows = _gather.take_rows
+
+    def fake_take_rgb(pool, idx):
+        return jnp.broadcast_to(
+            jnp.asarray([0.5, 0.5, 0.5], jnp.float32).reshape(
+                3, *([1] * idx.ndim)
+            ),
+            (3,) + idx.shape,
+        )
+
+    def fake_take_rows(table, idx):
+        # row 0 (a real triangle) so the Möller-Trumbore recompute stays
+        # finite; only the gather itself is removed
+        return jnp.broadcast_to(
+            table[0].reshape((table.shape[1],) + (1,) * idx.ndim),
+            (table.shape[1],) + idx.shape,
+        )
+
+    def timed_patched(label, fn, **patches):
+        saved = {k: getattr(_gather, k) for k in patches}
+        try:
+            for k, v in patches.items():
+                setattr(_gather, k, v)
+            timed(label, fn)
+        finally:
+            for k, v in saved.items():
+                setattr(_gather, k, v)
+
+    timed_patched("fwd: no texel-pool gathers", fwd_only,
+                  take_rgb=fake_take_rgb)
+    timed_patched("fwd: no row gathers (tri table)", fwd_only,
+                  take_rows=fake_take_rows)
+    timed_patched("fwd: neither gather", fwd_only,
+                  take_rgb=fake_take_rgb, take_rows=fake_take_rows)
+
     timed("grads: ALL leaves", grads_with(()))
     timed("grads: no atlas (texel scatter off)", grads_with(("atlas",)))
     timed("grads: no tris", grads_with(("tris",)))
