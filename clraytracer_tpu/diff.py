@@ -73,7 +73,12 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
                 **kw,
             )
         )
-        tri = hit.tri
+        # miss/dead lanes carry garbage triangle ids from the kernel; the
+        # row gather below is coherence-bound (ops/gather.py), so pin them
+        # to one hot row — their recomputed values are discarded via
+        # ``keep`` and their cotangents are zero, so row 0's gradient is
+        # untouched
+        tri = jnp.where(hit.hit, hit.tri, 0)
         # differentiable recompute of the object-space ray for the winning
         # instance (gradients flow into instance inverse transforms); planar
         o, d = object_space_rays(scene, hit.instance, origin, direction)

@@ -49,9 +49,11 @@ def take_rows(table: Array, idx: Array) -> Array:
     return rows.T.reshape((table.shape[1],) + idx.shape)
 
 
-#: ray counts at or above this use the sorted-segment backward for pool
-#: gathers on TPU (below it, compile cost + fixed sort overhead dominate)
-SORTED_VJP_MIN_N = 1 << 20
+#: index counts at or above this use the sorted-segment backward for pool
+#: gathers on TPU. Below it the serialized scatter wins: the pipeline's
+#: searchsorted leg costs ~14 ms regardless of N (it scales with the POOL
+#: row count), so the crossover vs ~16 ns/update scatter sits near 2M
+SORTED_VJP_MIN_N = 2 << 20
 
 
 def take_rgb(pool: Array, idx: Array) -> Array:

@@ -390,6 +390,15 @@ def shade_hits(
     #   Monte-Carlo diffuse GI continuation (uniform hemisphere about the
     #   shading normal, albedo * 2*cosTheta throughput) replaces the
     #   mirror reflection
+    deferred: list | None = None,  # float-path texel deferral (the XLA
+    #   twin of the fused kernel's atlas modes): when given — requires
+    #   reference_parity, float colors, no refraction — the per-bounce
+    #   texel-pool gather is SKIPPED; this list collects
+    #   (pool idx, F1, F2, albP, live) terms and render.bounce_loop
+    #   fetches every bounce's texels with ONE combined gather at the end
+    #   (radiance = Σ_b texel_b * (F1_b * P_b + F2_b); P = the GI color
+    #   product, 1 on the mirror path). One gather instead of one per
+    #   bounce → ONE sorted-scatter VJP per frame instead of B
 ) -> BounceState:
     """Apply one bounce of shading + update throughput (planar).
 
@@ -435,7 +444,12 @@ def shade_hits(
         attr = None
         mat_local = attrs[3].astype(jnp.int32)
     else:
-        attr = gather.take_rows(tables.tri_attr, tri_idx)  # [16, *S]
+        # miss/dead lanes carry garbage triangle ids; the row gather is
+        # coherence-bound, so pin them to one hot row (their shading is
+        # masked out downstream either way)
+        attr = gather.take_rows(
+            tables.tri_attr, jnp.where(hit, tri_idx, 0)
+        )  # [16, *S]
         mat_local = attr[15].astype(jnp.int32)
     inst = small_rows(tables.inst_rows, instance_idx)  # [17, *S]
     mat_start = inst[16].astype(jnp.int32)
@@ -506,19 +520,32 @@ def shade_hits(
         # row makes terminated-ray bounces cheap instead of random-access
         idx = jnp.where(hit, alb_idx, sky_idx)
         idx = jnp.where(state.alive, idx, 0)
-        texel = gather.take_rgb(atlas.texels, idx)
-        sky = texel  # valid on miss lanes only (masked below)
-    result = planar.where(
-        miss_now, state.result + sky * state.energy, state.result
-    )
-    if integer_colors:
-        color = _modulate_bytes(texel, alb_rgb)
+        if deferred is None:
+            texel = gather.take_rgb(atlas.texels, idx)
+            sky = texel  # valid on miss lanes only (masked below)
+        else:
+            assert reference_parity and not integer_colors, (
+                "texel deferral needs the reference-parity float path"
+            )
+            texel = sky = None
+    use_defer = deferred is not None and not inline
+    if use_defer:
+        result = state.result  # sky rides the deferred combined gather
+        color = None  # every consumer below is deferred or texel-free
     else:
-        color = texel * alb_rgb
+        result = planar.where(
+            miss_now, state.result + sky * state.energy, state.result
+        )
+        if integer_colors:
+            color = _modulate_bytes(texel, alb_rgb)
+        else:
+            color = texel * alb_rgb
 
     if reference_parity:
         # kernel_main.cl:248-250 overrides material properties
-        specular_color = jnp.full_like(color, 0.2)
+        # (state.energy as the shape template: `color` is None in
+        # deferred-texel mode)
+        specular_color = jnp.full_like(state.energy, 0.2)
         roughness = jnp.full_like(t, 0.5)
         shininess = None  # constant 1.0 — the pow is skipped below
     else:
@@ -611,16 +638,22 @@ def shade_hits(
             occ = shadow_tracer(scene, sh_origin, to_sun)
         shadow = jnp.where(hit & occ.hit, 0.0, 1.0)
     ndl_raw = planar.dot(normal, -state.light_dir)
-    ambient = planar.scale(
-        state.atmospheric * color, jnp.maximum(-ndl_raw, 0.1)
-    )
+    amb_m = jnp.maximum(-ndl_raw, 0.1)
+    if not use_defer:
+        ambient = planar.scale(state.atmospheric * color, amb_m)
     ndl = jnp.maximum(ndl_raw, 0.0)
     specular = planar.scale(specular_color, (1.0 - roughness) * ndl * shadow * ndl)
     if gi_state is not None:
         # diffuse GI: the continuation carries albedo * 2*cosTheta (the
         # uniform-hemisphere Lambertian estimator weight, see the sampling
-        # site above), not the specular term
-        specular = planar.scale(color, gi_weight)
+        # site above), not the specular term. Deferred mode carries the
+        # weight only — the color factor joins via the P product below.
+        if use_defer:
+            specular = jnp.broadcast_to(
+                gi_weight[None], state.energy.shape
+            )
+        else:
+            specular = planar.scale(color, gi_weight)
     refl_light = planar.reflect(-state.light_dir, normal)
     rdm = jnp.maximum(planar.dot(refl_light, mesh_direction), 0.0)
     if shininess is None:
@@ -630,21 +663,45 @@ def shade_hits(
         spec_pow = _pow_fast(rdm, shininess)
     spec_light = ndl * spec_pow * 0.2 * shadow
 
-    contrib = (
-        planar.scale(state.energy * color, ndl * shadow)
-        + ambient
-        + spec_light[None]
-    )
-    if use_refr is not None:
-        # transparent surfaces pass (1 - transmission) of their direct
-        # terms and carry `transmission` into the refracted continuation
-        contrib = planar.where(
-            use_refr, planar.scale(contrib, 1.0 - trans), contrib
+    if use_defer:
+        # emit the texel-blind deferred terms (render.bounce_loop's
+        # combined-gather assembly): contribution = texel * (F1*P + F2),
+        # F1 = energy*dif*alb (or plain energy on the miss lane — the sky
+        # texel rides the same combined gather), F2 = ambient coefficient
+        assert use_refr is None, "deferral excludes refraction"
+        dif = ndl * shadow
+        zero3 = jnp.zeros_like(state.energy)
+        F1 = planar.where(
+            live,
+            planar.scale(state.energy * alb_rgb, dif),
+            planar.where(miss_now, state.energy, zero3),
         )
-        specular = planar.where(
-            use_refr, jnp.broadcast_to(trans[None], specular.shape), specular
+        F2 = planar.where(
+            live, planar.scale(state.atmospheric * alb_rgb, amb_m), zero3
         )
-    result = planar.where(live, result + contrib, result)
+        deferred.append(
+            (idx, F1, F2,
+             alb_rgb if gi_state is not None else None, live)
+        )
+        result = planar.where(live, result + spec_light[None], result)
+    else:
+        contrib = (
+            planar.scale(state.energy * color, ndl * shadow)
+            + ambient
+            + spec_light[None]
+        )
+        if use_refr is not None:
+            # transparent surfaces pass (1 - transmission) of their direct
+            # terms and carry `transmission` into the refracted continuation
+            contrib = planar.where(
+                use_refr, planar.scale(contrib, 1.0 - trans), contrib
+            )
+            specular = planar.where(
+                use_refr,
+                jnp.broadcast_to(trans[None], specular.shape),
+                specular,
+            )
+        result = planar.where(live, result + contrib, result)
 
     return BounceState(
         result=result,

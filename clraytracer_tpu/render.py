@@ -61,6 +61,9 @@ def resolve_tracer(tracer: Tracer, scene: Scene) -> Tracer:
     return tracer
 
 
+#: test hook — False forces the float path's per-bounce texel gathers
+_DEFER_TEXELS = True
+
 TRACERS: dict[str, Tracer] = {
     "best": trace_best,  # auto: pallas when cluster tables exist, else wavefront
     "brute": trace_brute,
@@ -187,6 +190,26 @@ def bounce_loop(
 
     state = initial_bounce_state(origin, direction, sun_angle)
 
+    # float-path texel deferral (the XLA twin of the fused kernel's atlas
+    # modes; ops/shade.py `deferred`): every bounce's texel-pool rows ride
+    # ONE combined gather after the loop — one sorted-scatter VJP per
+    # differentiable frame instead of one per bounce (the per-frame
+    # searchsorted/sort fixed costs were ~30 ms/bounce of the 1080p
+    # fwd+bwd step). The float path always gathers the pool — texel
+    # gradients exist for procedural scenes too, their images are baked in
+    # (scene/types.Scene.procedural_tex) — so deferral applies scene-wide.
+    # (_DEFER_TEXELS is a test hook: parity tests pin deferred == direct.)
+    defer_list: list | None = (
+        []
+        if (
+            _DEFER_TEXELS
+            and not integer_colors
+            and reference_parity
+            and not enable_refraction
+        )
+        else None
+    )
+
     def one_bounce(state: BounceState, b: int | None) -> BounceState:
         # bounces > 0 pass the alive mask into the Pallas kernel: lanes
         # whose rays terminated fail every slab/accept test there, so a
@@ -238,12 +261,14 @@ def bounce_loop(
             enable_refraction=enable_refraction,
             refraction_ior=refraction_ior,
             gi_state=gi_state,
+            deferred=defer_list,
         )
 
     import os
 
     scan_ok = os.environ.get("CLRT_SCAN_BOUNCES", "0") == "1"
     if scan_ok and bounces > 1 and not enable_shadows and not enable_gi:
+        defer_list = None  # the scan carry cannot hold per-bounce terms
         # compile-size escape hatch (OPT-IN): one traced bounce body emits
         # the traversal kernel ONCE into the program instead of once per
         # bounce — halves program size (very large streamed-scene programs
@@ -258,6 +283,26 @@ def bounce_loop(
     else:
         for b in range(bounces):
             state = one_bounce(state, b)
+    if defer_list:
+        # combined-gather assembly (mirrors render_pallas._finish_frame's
+        # color-product pass, in the differentiable float domain):
+        # radiance += texel_b * (F1_b * P_b + F2_b); P is the GI color
+        # product (1 on the mirror path, where energy already carried the
+        # texel-free specular factor)
+        from clraytracer_tpu.ops import gather as _gather
+
+        idx_all = jnp.stack([d[0] for d in defer_list])  # [B, rows, 128]
+        tex_all = _gather.take_rgb(scene.atlas.texels, idx_all)
+        res = state.result
+        P = None
+        for b, (_idx, F1, F2, albP, livem) in enumerate(defer_list):
+            tx = tex_all[:, b]
+            e = F1 if P is None else F1 * P
+            res = res + tx * e + tx * F2
+            if albP is not None:
+                base = jnp.ones_like(tx) if P is None else P
+                P = planar.where(livem, base * (tx * albP), base)
+        return res
     return state.result
 
 

@@ -155,3 +155,54 @@ def test_fit_cli_recovers_albedo(tmp_path, capsys):
     report = json.loads(capsys.readouterr().out)
     assert report["loss_last"] < report["loss_first"] * 0.1
     assert report["param_mae_final"] < report["param_mae_init"]
+
+
+def test_deferred_texel_path_matches_direct(sphere_scene, monkeypatch):
+    """The float path's combined-gather texel deferral (render.bounce_loop
+    + ops/shade.py `deferred`) must reproduce the per-bounce-gather path
+    to float precision — including GI, whose energy carry routes through
+    the deferred color product P."""
+    import clraytracer_tpu.render as render_mod
+    from clraytracer_tpu.camera import Camera
+    from clraytracer_tpu.config import CameraConfig
+    from clraytracer_tpu.diff import render_image_diff
+    from clraytracer_tpu.render import frame_inputs_from_camera, trace_planar
+    from clraytracer_tpu.ops.trace_wavefront import trace_wavefront
+
+    W, H = 48, 32
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), W, H)
+    frame = frame_inputs_from_camera(cam, -1.96)
+
+    img_d = np.asarray(render_image_diff(sphere_scene, frame, W, H))
+    monkeypatch.setattr(render_mod, "_DEFER_TEXELS", False)
+    img_0 = np.asarray(render_image_diff(sphere_scene, frame, W, H))
+    np.testing.assert_allclose(img_d, img_0, rtol=1e-5, atol=1e-5)
+
+    # GI float path (P-product deferral), via trace_planar directly
+    import jax.numpy as jnp
+
+    dirs = _dirs(frame, W, H)
+    origin = jnp.broadcast_to(frame.camera_position[:, None, None], dirs.shape)
+
+    def gi_img():
+        return np.asarray(
+            trace_planar(
+                sphere_scene, origin, dirs, frame.sun_angle, 2,
+                trace_wavefront, reference_parity=True,
+                integer_colors=False, enable_gi=True, gi_seed=3,
+            )
+        )
+
+    monkeypatch.setattr(render_mod, "_DEFER_TEXELS", True)
+    gi_d = gi_img()
+    monkeypatch.setattr(render_mod, "_DEFER_TEXELS", False)
+    gi_0 = gi_img()
+    np.testing.assert_allclose(gi_d, gi_0, rtol=1e-5, atol=1e-5)
+
+
+def _dirs(frame, W, H):
+    from clraytracer_tpu.camera import ray_directions_planar
+
+    return ray_directions_planar(
+        frame.inverse_view, frame.inverse_projection, W, H
+    )
