@@ -225,12 +225,16 @@ def _bench_grads(args, scene, frame, config, scene_label) -> None:
                 loss, grads = image_loss_and_grads(
                     s, f._replace(sun_angle=f.sun_angle + acc * 1e-20), W, H
                 )
-                return (
-                    acc * 0.5
-                    + loss * 1e-6
-                    + jnp.sum(grads.materials.albedo) * 1e-9
-                    + jnp.sum(grads.atlas.texels) * 1e-12
+                # consume EVERY float gradient leaf: anything unconsumed
+                # (vertices, normals, instance transforms, ...) would be
+                # dead code XLA eliminates — the step being timed must be
+                # the full all-leaves backward
+                leaf_sums = sum(
+                    jnp.sum(x) * 1e-9
+                    for x in jax.tree_util.tree_leaves(grads)
+                    if jnp.issubdtype(x.dtype, jnp.floating)
                 )
+                return acc * 0.5 + loss * 1e-6 + leaf_sums
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
         return run
 

@@ -264,3 +264,4 @@ def small_rows_diff(table: Array, idx: Array) -> Array:
     if table.shape[0] <= ONEHOT_DIFF_MAX_ROWS:
         return onehot_rows_exact(table, idx)
     return take_rows(table, idx)
+

@@ -792,6 +792,28 @@ def _render_tiles(
     return fld3(0), fld3(3), fld3(6), extra
 
 
+def fused_path_preferred(scene: Scene) -> bool:
+    """Perf CHOICE between the two correct paths (render.bounce_loop calls
+    this after :func:`fused_path_available`). Measured 1080p/2-bounce
+    (2026-08-21, v5e): the fused kernel wins everywhere — headline 3.2 vs
+    16.8 ms, 1M-tri streamed 76 vs 201, 1M atlas 85 vs 199, resident atlas
+    ~tied — EXCEPT moderate-cluster streamed ATLAS scenes (the museum
+    class: <= FUSED_ROWS_STREAM_MAX_CLUSTERS clusters, r64 tiles, high hit
+    rate), where per-bounce deferred-block writes + the resolve's winner
+    re-DMA outweigh the saved shading fusions: two-phase 57.7 vs fused
+    69.4 ms. Both paths agree to float precision (tests/test_trace.py)."""
+    from clraytracer_tpu.ops.shade import _all_procedural
+
+    clusters = scene.clusters
+    if clusters is None:
+        return False
+    if _table_bytes(clusters) <= _tp.VMEM_TABLE_BUDGET:
+        return True
+    if _all_procedural(scene):
+        return True
+    return clusters.tri_a.shape[0] > FUSED_ROWS_STREAM_MAX_CLUSTERS
+
+
 def fused_path_available(scene: Scene, reference_parity: bool,
                          integer_colors: bool) -> bool:
     """Static eligibility of the fused megakernel for this scene/config.

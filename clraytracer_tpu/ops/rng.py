@@ -166,3 +166,159 @@ class PCG32:
         return (self.next() >> _np.uint32(8)).astype(_np.float32) * _np.float32(
             1.0 / 16777216.0
         )
+
+
+class MTwister:
+    """Host-side Mersenne Twister, bit-exact with the reference's 32-bit
+    ``Random::MTwister`` (Random.hpp:231-330): MT19937 state layout
+    (SIZE 624 / PERIOD 397 / init 0x6c078965 / standard tempering), plus
+    the reference's own ``Next64`` quirk — it combines two draws with
+    ``&`` instead of ``|`` (Random.hpp:270), so the 64-bit stream is
+    reproduced exactly as shipped (mostly zeros), not "fixed"."""
+
+    _SIZE, _PERIOD = 624, 397
+    _MAGIC = 0x9908B0DF
+
+    def __init__(self, seed: int = 4586):
+        import numpy as np
+
+        mt = np.empty(self._SIZE, np.uint32)
+        mt[0] = np.uint32(seed)
+        with np.errstate(over="ignore"):
+            for i in range(1, self._SIZE):
+                mt[i] = np.uint32(0x6C078965) * (
+                    mt[i - 1] ^ (mt[i - 1] >> np.uint32(30))
+                ) + np.uint32(i)
+        self._mt = mt
+        self._index = self._SIZE
+
+    def _generate(self) -> None:
+        import numpy as np
+
+        mt = self._mt
+        S, P = self._SIZE, self._PERIOD
+        for i in range(S):
+            y = (np.uint32(0x80000000) & mt[i]) | (
+                np.uint32(0x7FFFFFFF) & mt[(i + 1) % S]
+            )
+            sel = np.uint32(0xFFFFFFFF) if (y & np.uint32(1)) else np.uint32(0)
+            mt[i] = (
+                mt[(i + P) % S]
+                ^ (y >> np.uint32(1))
+                ^ (sel & np.uint32(self._MAGIC))
+            )
+        self._index = 0
+
+    def next(self) -> int:
+        import numpy as np
+
+        if self._index >= self._SIZE:
+            self._generate()
+        y = self._mt[self._index]
+        self._index += 1
+        y ^= y >> np.uint32(11)
+        y ^= (y << np.uint32(7)) & np.uint32(0x9D2C5680)
+        y ^= (y << np.uint32(15)) & np.uint32(0xEFC60000)
+        y ^= y >> np.uint32(18)
+        return int(y)
+
+    def next64(self) -> int:
+        """Reference parity INCLUDING its bug: ``a & (b << 32)`` — the low
+        word is always zero and the high word is ``a_hi & b_lo``-ish, so
+        values are almost always 0 (Random.hpp:265-278)."""
+        import numpy as np
+
+        if self._index + 1 >= self._SIZE:
+            self._generate()
+        a = np.uint64(self._mt[self._index]); self._index += 1
+        b = np.uint64(self._mt[self._index]); self._index += 1
+        y = a & (b << np.uint64(32))
+        y ^= y >> np.uint64(11)
+        y ^= (y << np.uint64(7)) & np.uint64(0x9D2C5680 & (0x9D2C5680 << 32))
+        y ^= (y << np.uint64(15)) & np.uint64(0xEFC60000 & (0xEFC60000 << 32))
+        y ^= y >> np.uint64(18)
+        return int(y)
+
+
+class MTwister64:
+    """Host-side twin of the reference's NONSTANDARD 64-bit ``MTwister64``
+    (Random.hpp:158-230): 624-word uint64 state, M = 367 (not MT19937-64's
+    156), multiplicative 69069 seeding with no tempering mask, 32-bit
+    mixing masks applied to 64-bit words, and ``Next() = uint32(x >> 16)``.
+
+    Faithfully reproduces the refill's two off-spec behaviours:
+
+    * index 257 is processed TWICE — the first unrolled-by-3 loop
+      (``while kk < N - M`` with N-M = 257) overruns to kk = 257, then
+      ``kk--`` lets the second loop redo it (Random.hpp:196-208);
+    * that overrun reads ``m_MT[624]`` — one past the array, landing on
+      ``m_Index`` (value 624/625, padding above). Only bit 31 of that word
+      can reach later state (via the re-done index 257's ``y``), and it is
+      always 0, so the sequence is deterministic; we model the word as
+      ``m_Index``'s value."""
+
+    _N, _M = 624, 367
+    _MAGIC = 0x9908B0DF
+
+    def __init__(self, seed: int = 4357):
+        import numpy as np
+
+        mt = np.empty(self._N, np.uint64)
+        mt[0] = np.uint64(seed)
+        with np.errstate(over="ignore"):
+            for i in range(1, self._N):
+                mt[i] = np.uint64(69069) * mt[i - 1]
+        self._mt = mt
+        self._index = self._N + 1
+
+    def _generate(self) -> None:
+        import numpy as np
+
+        mt = self._mt
+        N, M = self._N, self._M
+        magic = np.uint64(self._MAGIC)
+        one = np.uint64(1)
+        hi = np.uint64(0x80000000)
+        lo = np.uint64(0x7FFFFFFF)
+
+        def mix(kk: int, base: int) -> None:
+            y = (mt[kk] & hi) | (mt[kk + 1] & lo)
+            sel = magic if (y & one) else np.uint64(0)
+            src = (
+                np.uint64(self._index)  # the m_MT[624] == m_Index overrun
+                if base == N
+                else mt[base]
+            )
+            mt[kk] = src ^ (y >> one) ^ sel
+
+        kk = 0
+        while kk < N - M:  # unrolled-by-3 in the reference: overruns to 257
+            for _ in range(3):
+                mix(kk, kk + M)
+                kk += 1
+        kk -= 1  # 257 re-done below, exactly like the reference
+        while kk < N - 1:
+            for _ in range(3):
+                mix(kk, kk + M - N)
+                kk += 1
+        y = (mt[N - 1] & hi) | (mt[0] & lo)
+        sel = magic if (y & one) else np.uint64(0)
+        mt[N - 1] = mt[M - 1] ^ (y >> one) ^ sel
+        self._index = 0
+
+    def next(self) -> int:
+        import numpy as np
+
+        if self._index >= self._N:
+            self._generate()
+        x = self._mt[self._index]
+        self._index += 1
+        x ^= x >> np.uint64(11)
+        x ^= (x << np.uint64(7)) & np.uint64(0x9D2C5680)
+        x ^= (x << np.uint64(15)) & np.uint64(0xEFC60000)
+        x ^= x >> np.uint64(18)
+        return int(np.uint32(x >> np.uint64(16)))
+
+    def next64(self) -> int:
+        """``uint32(Next() >> 16)`` — as shipped (Random.hpp:185)."""
+        return self.next() >> 16

@@ -105,14 +105,19 @@ def render_sharded(
     # ray-mode fallback below renders scanline-band tiles spanning the
     # whole image width, which the tile culling cannot prune (measured
     # ~4x slower at 1080p)
-    from clraytracer_tpu.ops.render_pallas import fused_path_available
+    from clraytracer_tpu.ops.render_pallas import (
+        fused_path_available,
+        fused_path_preferred,
+    )
     from clraytracer_tpu.ops.trace_pallas import trace_pallas
     from clraytracer_tpu.render import resolve_tracer
 
-    use_fused_cam = resolve_tracer(
-        tracer, scene
-    ) is trace_pallas and fused_path_available(
-        scene, config.reference_parity_shading, config.integer_colors
+    use_fused_cam = (
+        resolve_tracer(tracer, scene) is trace_pallas
+        and fused_path_available(
+            scene, config.reference_parity_shading, config.integer_colors
+        )
+        and fused_path_preferred(scene)
     )
 
     @functools.partial(

@@ -176,14 +176,18 @@ def bounce_loop(
     if tracer is trace_pallas and not enable_refraction:
         from clraytracer_tpu.ops.render_pallas import (
             fused_path_available,
+            fused_path_preferred,
             render_fused,
         )
         # GI runs IN-KERNEL (bit-identical RNG streams to the XLA path);
         # atlas scenes defer the texel-dependent throughput factor to
         # _finish_frame's color-product pass (render_pallas.py)
+        # (GI keeps the fused kernel even where two-phase wins plain
+        # frames: chained two-phase GI trips the axon re-invocation bug,
+        # bench.py)
         if fused_path_available(
             scene, reference_parity, integer_colors
-        ):
+        ) and (fused_path_preferred(scene) or enable_gi):
             return render_fused(scene, origin, direction, sun_angle, bounces,
                                 enable_shadows=enable_shadows,
                                 gi_seed=gi_seed if enable_gi else None)
@@ -376,7 +380,7 @@ def _trace_tiled(
 
         if rp.fused_path_available(
             scene, reference_parity, integer_colors
-        ):
+        ) and (rp.fused_path_preferred(scene) or enable_gi):
             # in-kernel raygen: no per-ray inputs at all (render_pallas)
             result, (trows, tiles_x, tiles_y) = rp.render_fused_camera(
                 scene, frame, width, height, bounces,

@@ -419,6 +419,11 @@ class SceneBuilder:
                         build.left_first, build.tri_count, int(root)
                     ),
                     hv0, hv1, hv2,
+                    area_factor=float(
+                        __import__("os").environ.get(
+                            "CLRT_MERGE_AREA_FACTOR", "1.0"
+                        )
+                    ),
                 )
                 for root in build.roots
             ],
