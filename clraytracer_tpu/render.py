@@ -64,6 +64,9 @@ def resolve_tracer(tracer: Tracer, scene: Scene) -> Tracer:
 #: test hook — False forces the float path's per-bounce texel gathers
 _DEFER_TEXELS = True
 
+#: test hook — False disables secondary-bounce ray-row re-binning
+_ROW_BINNING = True
+
 TRACERS: dict[str, Tracer] = {
     "best": trace_best,  # auto: pallas when cluster tables exist, else wavefront
     "brute": trace_brute,
@@ -224,13 +227,13 @@ def bounce_loop(
         live_ok = tracer is trace_pallas or getattr(
             tracer, "supports_live", False
         )
-        if live_ok and b is not None and b > 0:
+        if live_ok and b is not None and b > 0 and _ROW_BINNING:
             # secondary bounces: ray-row re-binning (divergent rays →
             # coherent kernel tiles; see _trace_row_binned)
             hit = _trace_row_binned(
                 tracer, scene, state.origin, state.direction, state.alive
             )
-        elif live_ok and b is None:
+        elif live_ok and (b is None or b > 0):
             hit = tracer(scene, state.origin, state.direction,
                          live=state.alive)
         else:

@@ -495,3 +495,22 @@ def test_wavefront_chunked_matches_unchunked(two_instance_scene, monkeypatch):
     # differ by 1 ULP and flip shared-edge ties — the same class of seam
     # noise assert_hits_match tolerates between tracers
     assert_hits_match(ref, chunked)
+
+
+def test_row_binned_secondary_matches_unbinned(sphere_scene, monkeypatch):
+    """Secondary-bounce ray-row re-binning (render._trace_row_binned) is a
+    pure permutation: per-ray results match the unbinned trace (t-tie
+    flips aside — none at this size)."""
+    import clraytracer_tpu.render as render_mod
+    from clraytracer_tpu.ops.trace_pallas import trace_pallas
+
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), 64, 48)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
+    img_b = np.asarray(
+        trace_image(sphere_scene, frame, 64, 48, tracer=trace_pallas)
+    )
+    monkeypatch.setattr(render_mod, "_ROW_BINNING", False)
+    img_0 = np.asarray(
+        trace_image(sphere_scene, frame, 64, 48, tracer=trace_pallas)
+    )
+    np.testing.assert_array_equal(img_b, img_0)
