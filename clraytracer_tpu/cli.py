@@ -183,7 +183,17 @@ def cmd_bench(args) -> int:
         "--width", str(args.width),
         "--height", str(args.height),
         "--tris", str(args.tris),
-    ] + (["--tracer", args.tracer] if args.tracer else [])
+        "--yaw", str(args.yaw),
+        "--camera-pos", *(str(c) for c in args.camera_pos),
+    ] + (
+        ["--tracer", args.tracer]
+        if args.tracer and args.tracer != "best"
+        else []
+    ) + (
+        ["--scene", args.scene]
+        if args.scene and args.scene != "sphere"
+        else []
+    )
     bench_mod.main()
     return 0
 
