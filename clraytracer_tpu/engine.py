@@ -58,7 +58,7 @@ class Engine:
         builder: SceneBuilder | None = None,
         config: RenderConfig = RenderConfig(),
         camera_config: CameraConfig | None = None,
-        tracer: str = "pallas",
+        tracer: str = "best",
         scene: Scene | None = None,
     ) -> None:
         """Provide either a ``builder`` (call ``start()`` to build+upload)
