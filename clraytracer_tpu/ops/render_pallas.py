@@ -118,6 +118,9 @@ def _make_render_kernel(
     atlas_mode: int = 0,
     has_hyper: bool = False,
     gi_on: bool = False,
+    carry_in: bool = False,
+    carry_out: bool = False,
+    start_bounce: int = 0,
 ):
     """``cam = (trows, tiles_x, width, height)`` selects in-kernel raygen:
     instead of six [ROWS, 128] ray inputs streamed from HBM, the kernel
@@ -160,7 +163,21 @@ def _make_render_kernel(
       only.
 
     Both emit -1/-2 sentinels for miss-now/dead lanes (sky rides the
-    combined gather; dead lanes pin to row 0)."""
+    combined gather; dead lanes pin to row 0).
+
+    ``carry_in``/``carry_out``/``start_bounce`` split the bounce loop at a
+    bounce boundary so the host can re-bin divergent secondary rays into
+    coherent tiles between invocations (render_fused_camera's
+    ``split_rebin``): a ``carry_out`` invocation appends the continuation
+    state after its last bounce — o(3) | d(3) | energy(3) | alive(1) — to
+    the output block, and a ``carry_in`` invocation (ray mode) reads
+    result(3) | men(3) | mdir(3) | energy(3) | alive(1) from one extra
+    [13*ROWS, 128] input instead of starting fresh. ``light`` needs no
+    carry: every lane alive after bounce b has light == its ray direction
+    (the bounce epilogue sets both to the reflected ray), and dead lanes
+    never contribute. Values round-trip HBM as exact f32, so split ==
+    unsplit bit-for-bit (tile composition only affects conservative
+    culling, never the per-ray nearest hit)."""
     from clraytracer_tpu.ops.shade import _OFF_SHIFT
     from clraytracer_tpu.scene.procedural_tex import _eval
 
@@ -178,6 +195,8 @@ def _make_render_kernel(
             #   0 for a full frame; a shard's row-window offset under
             #   shard_map, so each device raygens its own rows in-kernel)
             rest = refs[1:]
+        if carry_in:
+            carry_ref, rest = rest[0], rest[1:]  # [13*ROWS, 128]
         (
             inst_ref,  # [I, 17] inverse transform (row-major) | material_start
             mat_ref,  # [M, 16] packed material rows (ops/shade.ShadingTables)
@@ -262,18 +281,33 @@ def _make_render_kernel(
             rn = 1.0 / jnp.sqrt(wx * wx + wy * wy + wz * wz)
             d = [wx * rn, wy * rn, wz * rn]
             o = [zero + cam_ref[0, 32 + c] for c in range(3)]
-        # initial light = sun direction (shade.initial_bounce_state)
-        light = [zero, zero + sun_ref[0, 0], zero + sun_ref[0, 1]]
-        result = [zero, zero, zero]
-        energy = [one, one, one]
-        men = [zero, zero, zero]  # throughput at first miss
-        mdir = [zero, zero, zero]  # direction at first miss
+        if carry_in:
+            # resume mid-loop from the carried state (split_rebin): layout
+            # result(3) | men(3) | mdir(3) | energy(3) | alive(1)
+            cr = lambda k: carry_ref[k * ROWS : (k + 1) * ROWS, :]
+            result = [cr(0), cr(1), cr(2)]
+            men = [cr(3), cr(4), cr(5)]
+            mdir = [cr(6), cr(7), cr(8)]
+            energy = [cr(9), cr(10), cr(11)]
+            alive = cr(12) > 0.5
+            # alive lanes left the previous bounce with light == direction
+            light = [d[0], d[1], d[2]]
+        else:
+            # initial light = sun direction (shade.initial_bounce_state)
+            light = [zero, zero + sun_ref[0, 0], zero + sun_ref[0, 1]]
+            result = [zero, zero, zero]
+            energy = [one, one, one]
+            men = [zero, zero, zero]  # throughput at first miss
+            mdir = [zero, zero, zero]  # direction at first miss
+            alive = jnp.ones((ROWS, 128), jnp.bool_)
         defer_out = []  # atlas modes: per-bounce deferred-shading blocks
-        alive = jnp.ones((ROWS, 128), jnp.bool_)
         # per-bounce atmospheric constants: the f32 chain 0.255 * 0.4^b,
         # replicated in numpy f32 so each bounce's value matches shade_hits'
-        # in-graph f32 multiplies bit-for-bit
+        # in-graph f32 multiplies bit-for-bit (start_bounce steps the chain
+        # by ITERATED f32 multiplies too — no f64 pow shortcut)
         atm = np.asarray([0.255, 0.25, 0.27], np.float32)
+        for _ in range(start_bounce):
+            atm = atm * np.float32(0.4)
 
         # camera mode: bounce 0's origin components enter traversal as
         # traced SCALARS — the plane-based intersector's o.N / o.U / o.V
@@ -286,6 +320,7 @@ def _make_render_kernel(
         )
 
         for _b in range(bounces):
+            gb = _b + start_bounce  # GLOBAL bounce index under split_rebin
 
             def traverse(o=o, d=d, live_mask=None, o_scalar=None):
                 ot = o_scalar if o_scalar is not None else (o[0], o[1], o[2])
@@ -313,7 +348,7 @@ def _make_render_kernel(
                     hk_scratch=hk_scratch,
                 )
 
-            if _b == 0:
+            if gb == 0:
                 traverse(o_scalar=o_trav0)
             else:
                 # whole-tile early out: a tile whose rays all terminated
@@ -442,7 +477,7 @@ def _make_render_kernel(
             # shadow_tracer semantics): one more traversal from the
             # epsilon-offset hit point toward the sun — hs_ref is reused
             # (every shading input is already in registers) -----------------
-            if shadows and _b == 0:
+            if shadows and gb == 0:
                 so = [(mo[c] + md[c] * t) + n[c] * 0.01 for c in range(3)]
                 sd = [zero, zero - sun_ref[0, 0], zero - sun_ref[0, 1]]
                 hs_ref[0:ROWS, :] = jnp.full((ROWS, 128), _BIG, jnp.float32)
@@ -671,6 +706,14 @@ def _make_render_kernel(
             out_ref[c * ROWS : (c + 1) * ROWS, :] = result[c]
             out_ref[(3 + c) * ROWS : (4 + c) * ROWS, :] = men[c]
             out_ref[(6 + c) * ROWS : (7 + c) * ROWS, :] = mdir[c]
+        if carry_out:
+            # continuation state for the re-binned follow-up invocation
+            assert not defer_out, "split_rebin is gated to atlas_mode == 0"
+            for c in range(3):
+                out_ref[(9 + c) * ROWS : (10 + c) * ROWS, :] = o[c]
+                out_ref[(12 + c) * ROWS : (13 + c) * ROWS, :] = d[c]
+                out_ref[(15 + c) * ROWS : (16 + c) * ROWS, :] = energy[c]
+            out_ref[18 * ROWS : 19 * ROWS, :] = jnp.where(alive, 1.0, 0.0)
         # deferred blocks, written in emit order: mode 1 = idx | mat_b
         # rgb | coef rgb (7; +coefA rgb with GI = 10); mode 2 = mat id |
         # uu | vv | coef rgb (6; +coefA rgb with GI = 9)
@@ -686,7 +729,7 @@ def _make_render_kernel(
     jax.jit,
     static_argnames=(
         "instance_ranges", "rows", "tex_descs", "bounces", "cam", "n_tiles",
-        "stream", "shadows", "atlas_mode",
+        "stream", "shadows", "atlas_mode", "carry_out", "start_bounce",
     ),
 )
 def _render_tiles(
@@ -709,6 +752,9 @@ def _render_tiles(
     atlas_mode: int = 0,
     hyper: tuple[Array, ...] = (),  # 0 or 1 packed hypercluster AABB table
     gis: Array | None = None,  # [1, bounces] i32 per-bounce GI seed bases
+    carry: Array | None = None,  # [T, 13*ROWS, 128] resumed bounce state
+    carry_out: bool = False,
+    start_bounce: int = 0,
 ):
     if cam is None:
         n_tiles = rays6[0].shape[0]
@@ -721,7 +767,8 @@ def _render_tiles(
     kernel = _make_render_kernel(
         instance_ranges, rows, mat_rows.shape[0], tex_descs, bounces, cam,
         stream, shadows, atlas_mode, has_hyper=len(hyper) == 1,
-        gi_on=gis is not None,
+        gi_on=gis is not None, carry_in=carry is not None,
+        carry_out=carry_out, start_bounce=start_bounce,
     )
     on_tpu = jax.default_backend() == "tpu"
     interpret = (
@@ -732,10 +779,17 @@ def _render_tiles(
         0 if not atlas_mode
         else (7, 6)[atlas_mode - 1] + (3 if gis is not None else 0)
     )
-    n_out = 9 + n_blocks * bounces
+    n_out = 9 + n_blocks * bounces + (10 if carry_out else 0)
     tile_spec = pl.BlockSpec(
         (None, ROWS, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    carry_t = () if carry is None else (carry,)
+    carry_specs = [] if carry is None else [
+        pl.BlockSpec(
+            (None, 13 * ROWS, 128), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((None, n_out * ROWS, 128), lambda i: (i, 0, 0))
@@ -768,18 +822,18 @@ def _render_tiles(
         ]
     gis_t = () if gis is None else (gis,)
     gis_specs = [] if gis is None else [smem]
-    vma = _tp.out_vma(*ray_in[0], inst_rows, mat_rows, sun, *gis_t, scab,
-                      clab, *hyper, *geo)
-    inputs = _tp.align_vma(vma, *ray_in[0], inst_rows, mat_rows, sun,
-                           *gis_t, scab, clab, *hyper, *geo)
+    vma = _tp.out_vma(*ray_in[0], *carry_t, inst_rows, mat_rows, sun,
+                      *gis_t, scab, clab, *hyper, *geo)
+    inputs = _tp.align_vma(vma, *ray_in[0], *carry_t, inst_rows, mat_rows,
+                           sun, *gis_t, scab, clab, *hyper, *geo)
     big = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct(
             (n_tiles, n_out * ROWS, 128), jnp.float32, vma=vma
         ),
-        in_specs=ray_in[1] + [full, full, smem] + gis_specs + [full, full]
-        + [full] * len(hyper) + geo_specs,
+        in_specs=ray_in[1] + carry_specs + [full, full, smem] + gis_specs
+        + [full, full] + [full] * len(hyper) + geo_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
         interpret=interpret,
@@ -787,8 +841,9 @@ def _render_tiles(
         *inputs,
     )
     fld3 = lambda k: big[:, k * ROWS : (k + 3) * ROWS, :]
-    # result, miss_energy, miss_dir blocks (+ the raw deferred-texel blocks)
-    extra = big[:, 9 * ROWS :, :] if atlas_mode else None
+    # result, miss_energy, miss_dir blocks (+ the raw deferred-texel blocks,
+    # or the continuation-state blocks when carry_out)
+    extra = big[:, 9 * ROWS :, :] if (atlas_mode or carry_out) else None
     return fld3(0), fld3(3), fld3(6), extra
 
 
@@ -812,6 +867,26 @@ def fused_path_preferred(scene: Scene) -> bool:
     if _all_procedural(scene):
         return True
     return clusters.tri_a.shape[0] > FUSED_ROWS_STREAM_MAX_CLUSTERS
+
+
+def split_rebin_preferred(scene: Scene) -> bool:
+    """Auto gate for render_fused_camera's ``split_rebin`` — currently OFF
+    for every scene class (measured 2026-08-21, v5e, 1080p): on the
+    1M-tri streamed sphere it read 52.2 vs 54.5 Mrays/s unsplit.
+    Reflections off a smooth convex surface stay COHERENT per tile
+    (neighboring primaries reflect to neighboring directions), so
+    re-binning buys no culling there, while the 19-block state round-trip
+    + 19 row gathers cost ~2 ms — and that scene's bounce-2 cost is
+    dominated by local leaf tests around each ray's own origin (rays
+    start ON the surface, so nearby cluster AABBs pass the slab test
+    regardless of tile grouping). The divergent-secondary win that
+    motivated this (museum 57.6 -> 32.8 ms) lives on the two-phase path
+    (render._trace_row_binned), whose scene class (streamed atlas) never
+    reaches the fused kernel. Kept as an explicit opt-in
+    (``split_rebin=True``) for mixed-surface procedural scenes;
+    bit-exactness is pinned by tests/test_trace.py."""
+    del scene
+    return False
 
 
 def fused_path_available(scene: Scene, reference_parity: bool,
@@ -1108,6 +1183,7 @@ def render_fused_camera(
     gi_seed: int | None = None,
     row0: Array | None = None,
     local_height: int | None = None,
+    split_rebin: bool | None = None,
 ) -> tuple[Array, tuple[int, int, int]]:
     """Fused frame with **in-kernel raygen** → ([3, rows_total, 128]
     radiance in trows x 128 screen-strip order, (trows, tiles_x, tiles_y))
@@ -1124,6 +1200,18 @@ def render_fused_camera(
     shard's view of the frame (parallel/sharding.render_sharded). The
     unprojection still uses the full-frame ``height``, so a shard's pixels
     are bit-identical to the full frame's.
+
+    ``split_rebin`` (None = auto via :func:`split_rebin_preferred`): run
+    bounce 0 as one camera-mode invocation that also emits continuation
+    state, re-bin whole ray ROWS by direction octant + origin cell (and
+    compact fully-dead rows together, so pure-sky tiles skip traversal via
+    the kernel's any(alive) early-out), then finish the remaining bounces
+    in a second ray-mode invocation resumed from the carried state. The
+    same divergent-secondary-ray fix render._trace_row_binned applies to
+    the two-phase path, now without leaving the fused kernel. Bit-exact vs
+    the unsplit kernel; gated to atlas_mode == 0, no GI (the in-kernel GI
+    RNG streams are keyed by ORIGINAL row index, which a permuted second
+    invocation would break).
     """
     from clraytracer_tpu.ops.shade import _OFF_SHIFT, _all_procedural
 
@@ -1168,28 +1256,34 @@ def render_fused_camera(
     ).astype(jnp.float32).reshape(1, 2)
 
     stream, geo = _geo_inputs(clusters)
-    res, men, mdir, extra = _render_tiles(
-        (),
-        cam_vec,
-        scene.packed.inst_rows,
-        scene.packed.mat_rows,
-        sun,
-        clusters.super_aabb,
-        clusters.cluster_aabb,
-        geo,
-        ranges,
-        ROWS,
-        tex_descs,
-        bounces,
-        cam=(trows, tiles_x, width, height),
-        n_tiles=n_tiles,
+    if split_rebin is None:
+        split_rebin = split_rebin_preferred(scene)
+    split_rebin = (
+        split_rebin and bounces >= 2 and atlas_mode == 0 and gi_seed is None
+    )
+    common = dict(
         stream=stream,
-        shadows=enable_shadows,
-        atlas_mode=atlas_mode,
         hyper=(
             (clusters.hyper_aabb,) if clusters.hyper_aabb is not None else ()
         ),
-        gis=_gi_seed_rows(gi_seed, bounces),
+    )
+    tables = (
+        scene.packed.inst_rows, scene.packed.mat_rows, sun,
+        clusters.super_aabb, clusters.cluster_aabb, geo, ranges, ROWS,
+        tex_descs,
+    )
+    res, men, mdir, extra = _render_tiles(
+        (),
+        cam_vec,
+        *tables,
+        1 if split_rebin else bounces,
+        cam=(trows, tiles_x, width, height),
+        n_tiles=n_tiles,
+        shadows=enable_shadows,
+        atlas_mode=atlas_mode,
+        gis=None if split_rebin else _gi_seed_rows(gi_seed, bounces),
+        carry_out=split_rebin,
+        **common,
     )
 
     def untile3(x: Array) -> Array:  # [T, 3*ROWS, 128] → [3, rows, 128]
@@ -1199,7 +1293,66 @@ def render_fused_camera(
             .reshape(3, rows_total, 128)
         )
 
-    res, men, mdir = untile3(res), untile3(men), untile3(mdir)
+    if split_rebin:
+        # ---- bounce-boundary row re-binning (see the docstring) ---------
+        # continuation blocks: o(3) | d(3) | energy(3) | alive(1)
+        rows_of = lambda x, k: (
+            x[:, k * ROWS : (k + 1) * ROWS, :].reshape(rows_total, 128)
+        )
+        o_r = [rows_of(extra, c) for c in range(3)]
+        d_r = [rows_of(extra, 3 + c) for c in range(3)]
+        e_r = [rows_of(extra, 6 + c) for c in range(3)]
+        al_r = rows_of(extra, 9)
+        # per-row sort key: direction octant then coarse origin cell
+        # (render._trace_row_binned's expression); fully-dead rows key
+        # past every live octant so whole tiles of them skip traversal
+        dm = [jnp.sign(d_r[c]).mean(axis=1) for c in range(3)]
+        om = [o_r[c].mean(axis=1) for c in range(3)]
+        octant = (
+            (dm[0] > 0) * 4 + (dm[1] > 0) * 2 + (dm[2] > 0)
+        ).astype(jnp.float32)
+        cell = (
+            jnp.floor(om[0] * 0.25) * 64.0
+            + jnp.floor(om[1] * 0.25) * 8.0
+            + jnp.floor(om[2] * 0.25)
+        )
+        key = jnp.where(
+            al_r.max(axis=1) > 0.5, octant * 65536.0 + cell, jnp.float32(3e18)
+        )
+        perm = jnp.argsort(key)
+        inv = jnp.argsort(perm)
+        tile_rows = lambda xs: tuple(
+            x[perm].reshape(n_tiles, ROWS, 128) for x in xs
+        )
+        rays6 = tile_rows(o_r) + tile_rows(d_r)
+        # carry layout: result(3) | men(3) | mdir(3) | energy(3) | alive(1)
+        carry_fields = (
+            [rows_of(res, c) for c in range(3)]
+            + [rows_of(men, c) for c in range(3)]
+            + [rows_of(mdir, c) for c in range(3)]
+            + e_r
+            + [al_r]
+        )
+        carry = (
+            jnp.stack([f[perm] for f in carry_fields])
+            .reshape(13, n_tiles, ROWS, 128)
+            .transpose(1, 0, 2, 3)
+            .reshape(n_tiles, 13 * ROWS, 128)
+        )
+        res, men, mdir, _ = _render_tiles(
+            rays6,
+            None,
+            *tables,
+            bounces - 1,
+            carry=carry,
+            start_bounce=1,
+            **common,
+        )
+        unrows3 = lambda x: untile3(x)[:, inv]
+        res, men, mdir = unrows3(res), unrows3(men), unrows3(mdir)
+        extra = None
+    else:
+        res, men, mdir = untile3(res), untile3(men), untile3(mdir)
     img = _finish_frame(
         scene, res, men, mdir, extra, n_tiles, ROWS, bounces, atlas_mode,
         gi=gi_seed is not None,

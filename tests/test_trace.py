@@ -514,3 +514,44 @@ def test_row_binned_secondary_matches_unbinned(sphere_scene, monkeypatch):
         trace_image(sphere_scene, frame, 64, 48, tracer=trace_pallas)
     )
     np.testing.assert_array_equal(img_b, img_0)
+
+
+def test_fused_split_rebin_matches_unsplit(monkeypatch):
+    """Bounce-boundary split of the fused camera-mode kernel (carry state
+    out, re-bin ray rows, resume in a second invocation —
+    render_pallas.render_fused_camera split_rebin) must reproduce the
+    one-invocation kernel: the carried f32 state round-trips HBM exactly
+    and tile regrouping only changes conservative culling, never the
+    per-ray nearest hit."""
+    from clraytracer_tpu.ops import render_pallas as rp
+    from clraytracer_tpu.ops import trace_pallas as tp
+    from clraytracer_tpu.scene import SceneBuilder
+    from clraytracer_tpu.scene.procedural import uv_sphere
+    from clraytracer_tpu.scene import procedural_tex as ptex
+
+    monkeypatch.setattr(tp, "VMEM_TABLE_BUDGET", 0)  # the streamed class
+    b = SceneBuilder()
+    b.import_procedural(ptex.sky_gradient(64, 32))
+    checker = b.import_procedural(ptex.checker(32, 4))
+    mat = b.create_material(albedo=(0.9, 0.6, 0.3), albedo_tex=checker)
+    b.add_instance(
+        b.add_mesh(uv_sphere(2.0, n_lat=10, n_lon=16), materials_start=mat)
+    )
+    scene = b.build()
+    assert scene.clusters.geo_stream is not None
+    # the auto-gate is off (measured negative on the 1M sphere class —
+    # see split_rebin_preferred); the mechanism stays exact regardless
+    assert not rp.split_rebin_preferred(scene)
+
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), 128, 64)
+    frame = frame_inputs_from_camera(cam, sun_angle=-1.96)
+    img_split, layout_s = rp.render_fused_camera(
+        scene, frame, 128, 64, bounces=2, split_rebin=True
+    )
+    img_one, layout_o = rp.render_fused_camera(
+        scene, frame, 128, 64, bounces=2, split_rebin=False
+    )
+    assert layout_s == layout_o
+    np.testing.assert_array_equal(
+        np.asarray(img_split), np.asarray(img_one)
+    )
