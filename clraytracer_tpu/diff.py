@@ -92,7 +92,10 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
         # to v0/v1/v2/normals/uvs intact. The interpolated attributes are
         # returned through SceneHit.attr_* (the same contract the Pallas
         # kernel uses), so shade_hits performs no triangle gather at all.
-        from clraytracer_tpu.ops.gather import take_rows
+        # wide_rows_diff: at frame-scale ray counts the [T, 25] table
+        # cotangent uses the sorted-permutation segment backward instead
+        # of XLA's per-update-serialized 25-wide scatter (ops/gather.py)
+        from clraytracer_tpu.ops.gather import wide_rows_diff as take_rows
 
         trs = scene.tris
         f32 = lambda a: a.astype(jnp.float32)

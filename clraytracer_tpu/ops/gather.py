@@ -132,6 +132,65 @@ def _take_rows_sorted_bwd(res, g):
 take_rows_sorted_vjp.defvjp(_take_rows_sorted_fwd, _take_rows_sorted_bwd)
 
 
+@jax.custom_vjp
+def take_rows_sorted_perm_vjp(table: Array, idx: Array) -> Array:
+    """:func:`take_rows` with a sort-based table VJP for WIDE tables.
+
+    :func:`take_rows_sorted_vjp` drags every value column through
+    ``lax.sort`` (W + 1 operands) — fine at the texel pool's W = 4, ruinous
+    at the differentiable tracer's [T, 25] triangle table. Here the sort
+    carries only (idx, iota): the cotangent columns are re-ordered
+    afterwards by ONE wide row gather at the resulting permutation, then
+    the same cumsum → searchsorted → adjacent-difference segment reduction
+    runs in [W, N] layout (cumsum along the 128-lane minor axis, no
+    W → 128 lane padding). The searchsorted leg scales with the TABLE row
+    count, which for triangle tables (thousands of rows, not the pool's
+    ~147k) is noise. Summation order differs from XLA's scatter-add by
+    f32 rounding only.
+    """
+    return take_rows(table, idx)
+
+
+def _take_rows_sorted_perm_fwd(table, idx):
+    return take_rows(table, idx), (
+        idx, table.shape[0], table.shape[1], table[:0, :0]
+    )
+
+
+def _take_rows_sorted_perm_bwd(res, g):
+    idx, num_rows, width, table_proto = res
+    flat = jnp.clip(idx.reshape(-1), 0, num_rows - 1)
+    gf = g.astype(jnp.float32).reshape(width, -1)  # [W, N]
+    n = flat.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    si, perm = jax.lax.sort([flat, iota], num_keys=1)
+    gs = jnp.take(gf, perm, axis=1)  # [W, N] in idx-sorted column order
+    c = jnp.cumsum(gs, axis=1)
+    pos = jnp.searchsorted(
+        si, jnp.arange(num_rows + 1, dtype=si.dtype), side="left"
+    )  # [R+1]
+    cpad = jnp.concatenate(
+        [jnp.zeros((width, 1), c.dtype), c], axis=1
+    )
+    bounds = jnp.take(cpad, pos, axis=1)  # [W, R+1]
+    d_table = (bounds[:, 1:] - bounds[:, :-1]).T  # [R, W]
+    return _reduce_to_table_vma(d_table, g, table_proto), None
+
+
+take_rows_sorted_perm_vjp.defvjp(
+    _take_rows_sorted_perm_fwd, _take_rows_sorted_perm_bwd
+)
+
+
+def wide_rows_diff(table: Array, idx: Array) -> Array:
+    """Differentiable row gather for WIDE mid-size tables (the tracer's
+    [T, 25] combined triangle table): sorted-permutation backward at
+    frame-scale index counts on TPU, plain scatter VJP below it."""
+    if jax.default_backend() == "tpu" and idx.size >= SORTED_VJP_MIN_N:
+        return take_rows_sorted_perm_vjp(table, idx)
+    return take_rows(table, idx)
+
+
 def onehot_rows(table: Array, idx: Array) -> Array:
     """One-hot MXU gather of ``table [R, W]`` rows → planar ``[W, ...]`` f32.
 

@@ -180,6 +180,24 @@ def extra_bench():  # pragma: no cover - TPU microbench only
         d_table = ends - starts
         return acc * 0.5 + jnp.sum(d_table) * 1e-9
 
+    def perm_full(acc):
+        # permutation-payload variant (gather.take_rows_sorted_perm_vjp):
+        # sort (idx, iota) only, re-order g afterwards with one wide
+        # row gather, cumsum in [W, N] layout (no W -> 128 lane padding)
+        si, perm = jax.lax.sort(
+            [idx + (acc * 1e-20).astype(jnp.int32),
+             jnp.arange(args.n, dtype=jnp.int32)],
+            num_keys=1,
+        )
+        gs = jnp.take(g.T, perm, axis=1)  # [W, N]
+        c = jnp.cumsum(gs, axis=1)
+        pos = jnp.searchsorted(si, jnp.arange(P + 1, dtype=si.dtype),
+                               side="left")
+        cpad = jnp.concatenate([jnp.zeros((W, 1), c.dtype), c], axis=1)
+        bounds = jnp.take(cpad, pos, axis=1)
+        d_table = bounds[:, 1:] - bounds[:, :-1]
+        return acc * 0.5 + jnp.sum(d_table) * 1e-9
+
     def cumsum_only(acc):
         c = jnp.cumsum(g + acc * 1e-20, axis=0)
         return acc * 0.5 + jnp.sum(c[-1]) * 1e-9
@@ -194,6 +212,7 @@ def extra_bench():  # pragma: no cover - TPU microbench only
         ("cumsum", cumsum_only),
         ("searchsorted", ss_only),
         ("full", full),
+        ("perm_full", perm_full),
     ):
         try:
             dt = chain_time(fn, args.iters)
