@@ -55,6 +55,13 @@ def take_rows(table: Array, idx: Array) -> Array:
 #: row count), so the crossover vs ~16 ns/update scatter sits near 2M
 SORTED_VJP_MIN_N = 2 << 20
 
+#: crossover for the WIDE-table (tri-table [T, 25]) perm variant. Its
+#: searchsorted leg scales with the TABLE row count (thousands, not the
+#: pool's 147k), so the fixed cost is near-zero and the sorted backward
+#: wins as soon as the serialized scatter would process a few hundred k
+#: updates x 25 lanes (~95 ms at 540p per diff.py's measurement)
+SORTED_VJP_WIDE_MIN_N = 1 << 18
+
 
 def take_rgb(pool: Array, idx: Array) -> Array:
     """Row-gather an RGB pool ``[P, 3|4]`` at ``idx [...]`` → planar
@@ -186,7 +193,7 @@ def wide_rows_diff(table: Array, idx: Array) -> Array:
     """Differentiable row gather for WIDE mid-size tables (the tracer's
     [T, 25] combined triangle table): sorted-permutation backward at
     frame-scale index counts on TPU, plain scatter VJP below it."""
-    if jax.default_backend() == "tpu" and idx.size >= SORTED_VJP_MIN_N:
+    if jax.default_backend() == "tpu" and idx.size >= SORTED_VJP_WIDE_MIN_N:
         return take_rows_sorted_perm_vjp(table, idx)
     return take_rows(table, idx)
 

@@ -847,6 +847,23 @@ def _render_tiles(
     return fld3(0), fld3(3), fld3(6), extra
 
 
+def rebin_key(dm, om):
+    """int32 row re-bin sort key: direction octant (bits 18-20) | wrapped
+    coarse origin cell (18 low bits, 6 per axis). Built in integer space so
+    large |origin| can neither cross octant strata nor lose exactness the
+    way an f32 ``octant*65536 + cell`` key could past |o| ~ 4096; the
+    64-cell/axis wrap only aliases distant cells within an octant, which
+    merely reshuffles the permutation (results are order-independent)."""
+    octant = (
+        (dm[0] > 0) * 4 + (dm[1] > 0) * 2 + (dm[2] > 0)
+    ).astype(jnp.int32)
+    cell = jnp.zeros_like(octant)
+    for c in range(3):
+        cc = jnp.floor(om[c] * 0.25).astype(jnp.int32) & 63
+        cell = (cell << 6) | cc
+    return (octant << 18) | cell
+
+
 def fused_path_preferred(scene: Scene) -> bool:
     """Perf CHOICE between the two correct paths (render.bounce_loop calls
     this after :func:`fused_path_available`). Measured 1080p/2-bounce
@@ -1308,16 +1325,10 @@ def render_fused_camera(
         # past every live octant so whole tiles of them skip traversal
         dm = [jnp.sign(d_r[c]).mean(axis=1) for c in range(3)]
         om = [o_r[c].mean(axis=1) for c in range(3)]
-        octant = (
-            (dm[0] > 0) * 4 + (dm[1] > 0) * 2 + (dm[2] > 0)
-        ).astype(jnp.float32)
-        cell = (
-            jnp.floor(om[0] * 0.25) * 64.0
-            + jnp.floor(om[1] * 0.25) * 8.0
-            + jnp.floor(om[2] * 0.25)
-        )
         key = jnp.where(
-            al_r.max(axis=1) > 0.5, octant * 65536.0 + cell, jnp.float32(3e18)
+            al_r.max(axis=1) > 0.5,
+            rebin_key(dm, om),
+            jnp.int32(0x7FFFFFFF),
         )
         perm = jnp.argsort(key)
         inv = jnp.argsort(perm)
@@ -1346,6 +1357,11 @@ def render_fused_camera(
             bounces - 1,
             carry=carry,
             start_bounce=1,
+            # in-kernel shadows are gated to global bounce 0 (gb == 0),
+            # unreachable here with start_bounce=1 — forwarded anyway so the
+            # dependency can't silently break if shadows ever extend past
+            # bounce 0 (compiles identically today)
+            shadows=enable_shadows,
             **common,
         )
         unrows3 = lambda x: untile3(x)[:, inv]

@@ -334,17 +334,11 @@ def _trace_row_binned(tracer, scene, origin, direction, live):
     """
     from clraytracer_tpu.ops.trace_ref import SceneHit
 
+    from clraytracer_tpu.ops.render_pallas import rebin_key
+
     dm = jnp.sign(direction).mean(axis=2)  # [3, rows]
     om = origin.mean(axis=2)
-    octant = (
-        (dm[0] > 0) * 4 + (dm[1] > 0) * 2 + (dm[2] > 0)
-    ).astype(jnp.float32)
-    cell = (
-        jnp.floor(om[0] * 0.25) * 64.0
-        + jnp.floor(om[1] * 0.25) * 8.0
-        + jnp.floor(om[2] * 0.25)
-    )
-    perm = jnp.argsort(octant * 65536.0 + cell)
+    perm = jnp.argsort(rebin_key(dm, om))
     inv = jnp.argsort(perm)
     hit = tracer(
         scene, origin[:, perm], direction[:, perm], live=live[perm]
@@ -503,7 +497,7 @@ def render_frame(
     scene: Scene,
     frame: FrameInputs,
     config: RenderConfig,
-    tracer: Tracer = trace_wavefront,
+    tracer: Tracer = trace_best,
 ) -> Array:
     """Full frame: trace + post chain. Returns [H, W, 3] display-ready."""
     if config.samples > 1:
@@ -576,7 +570,7 @@ def render_frame(
 
 @functools.partial(jax.jit, static_argnames=("config", "tracer_name"))
 def render_frame_jit(
-    scene: Scene, frame: FrameInputs, config: RenderConfig, tracer_name: str = "wavefront"
+    scene: Scene, frame: FrameInputs, config: RenderConfig, tracer_name: str = "best"
 ) -> Array:
     return render_frame(scene, frame, config, tracer=TRACERS[tracer_name])
 
@@ -585,7 +579,7 @@ def render(
     scene: Scene,
     camera: Camera,
     config: RenderConfig,
-    tracer_name: str = "wavefront",
+    tracer_name: str = "best",
 ) -> np.ndarray:
     """Convenience entry: returns an [H, W, 3] float numpy image."""
     frame = frame_inputs_from_camera(camera, config.sun_angle)
