@@ -1,7 +1,7 @@
-// QuickLZ 1.5 level-1 container codec (decompress + stored-form write
-// helpers) — an independent re-implementation from the wire format, used to
-// read the reference's `.clm` mesh caches (AssetManager.cpp:323-361 stores
-// the Tri arena as one quicklz level-1 stream when >= 1000 tris).
+// QuickLZ 1.5 level-1 container codec (decompress + compress) — an
+// independent re-implementation from the wire format, used to read AND
+// write the reference's `.clm` mesh caches (AssetManager.cpp:310-361
+// stores the Tri arena as one quicklz level-1 stream when >= 1000 tris).
 //
 // Wire format (little-endian):
 //   byte 0       flags: bit0 = compressed, bit1 = wide header,
@@ -136,6 +136,114 @@ long long clrt_qlz_decompress(const unsigned char* src, long long src_len,
       return dsize;
     }
   }
+}
+
+// Encode one level-1 container (wide 9-byte header) into dst. Returns the
+// container byte count, or -1 when the input is too small (< 16 bytes), the
+// output would not fit in dst_cap, or compression failed to beat a stored
+// container (callers fall back to the stored form in those cases).
+//
+// The encoder maintains the hash table with exactly the DECODER's update
+// discipline (literal positions lazily up to cursor-3, each match's first
+// position, match bodies skipped), so at every match token the two tables
+// agree by construction and the emitted 12-bit hash field resolves to the
+// verified source position on the decode side. That mirroring also makes
+// every match offset >= 3 automatically (table entries are either literal
+// positions <= pos-3 or starts of earlier >=3-byte matches), satisfying the
+// reference decoder's MINOFFSET memory-safety check. Matches start at
+// pos <= dsize-11 and end by dsize-5, matching the reference encoder's
+// bounds (the final bytes are always literal-coded so both decoders finish
+// in their literal-tail branch).
+long long clrt_qlz_compress(const unsigned char* src, long long n,
+                            unsigned char* dst, long long dst_cap) {
+  const long long header = 9;
+  if (n < 16 || n > 0xffffffffLL - 400) return -1;
+  if (dst_cap < header + 8) return -1;
+
+  unsigned char* out = dst + header;
+  unsigned char* out_end = dst + dst_cap;
+  uint32_t table[4096] = {0};
+  long long hashed = -1;  // last source index recorded in the table
+
+  auto record_upto = [&](long long upto) {
+    while (hashed < upto) {
+      ++hashed;
+      table[hash3(src + hashed)] = (uint32_t)hashed;
+    }
+  };
+  auto write_le32 = [](unsigned char* p, uint32_t v) {
+    p[0] = (unsigned char)v;
+    p[1] = (unsigned char)(v >> 8);
+    p[2] = (unsigned char)(v >> 16);
+    p[3] = (unsigned char)(v >> 24);
+  };
+
+  unsigned char* cw_ptr = out;  // current control word's slot
+  out += 4;
+  uint32_t cw_bits = 0;
+  int cw_n = 0;
+  bool ok = true;
+  // flags fill LSB-first; a full word holds 31 + the bit-31 sentinel, and
+  // the next word's slot is reserved right before the 32nd token's payload
+  // (where the decoder will fetch it)
+  auto put_flag = [&](uint32_t bit) {
+    if (cw_n == 31) {
+      write_le32(cw_ptr, cw_bits | (1u << 31));
+      if (out + 4 > out_end) {
+        ok = false;
+        return;
+      }
+      cw_ptr = out;
+      out += 4;
+      cw_bits = 0;
+      cw_n = 0;
+    }
+    cw_bits |= bit << cw_n;
+    ++cw_n;
+  };
+
+  const long long last_matchstart = n - 11;
+  long long pos = 0;
+  while (pos < n) {
+    long long len = 0;
+    uint32_t h = 0;
+    if (pos <= last_matchstart) {
+      h = hash3(src + pos);
+      const long long o = (long long)table[h];
+      if (o + 3 <= pos && src[o] == src[pos] && src[o + 1] == src[pos + 1] &&
+          src[o + 2] == src[pos + 2]) {
+        long long cap = n - 5 - pos;
+        if (cap > 255) cap = 255;
+        len = 3;
+        while (len < cap && src[o + len] == src[pos + len]) ++len;
+      }
+    }
+    if (len >= 3) {
+      put_flag(1);
+      if (!ok || out + 3 > out_end) return -1;
+      const uint32_t tok = (h << 4) | (len <= 17 ? (uint32_t)(len - 2) : 0u);
+      out[0] = (unsigned char)tok;
+      out[1] = (unsigned char)(tok >> 8);
+      out += 2;
+      if (len > 17) *out++ = (unsigned char)len;
+      record_upto(pos);  // the match's first position enters the table
+      pos += len;
+      hashed = pos - 1;  // the body does not
+    } else {
+      put_flag(0);
+      if (!ok || out >= out_end) return -1;
+      *out++ = src[pos++];
+      record_upto(pos - 3);
+    }
+  }
+  write_le32(cw_ptr, cw_bits | (1u << cw_n));
+
+  const long long csize = out - dst;
+  if (csize >= n + header) return -1;  // a stored container would be smaller
+  dst[0] = 0x47;  // compressed | wide sizes | level 1 | quicklz bit 6
+  write_le32(dst + 1, (uint32_t)csize);
+  write_le32(dst + 5, (uint32_t)n);
+  return csize;
 }
 
 }  // extern "C"

@@ -174,6 +174,114 @@ def _qlz_decompress_py(blob: bytes, dsize: int) -> bytes:
             return bytes(dst)
 
 
+def qlz_compress(payload: bytes) -> bytes:
+    """Encode bytes as a level-1 QuickLZ container (wide header), matching
+    the reference's own `.clm` tri-blob compression (AssetManager.cpp:310-318
+    calls quicklz level 1 at >= 1000 tris). Falls back to the stored form
+    whenever compression would not shrink the payload (tiny or
+    incompressible inputs) — both forms are valid reference input."""
+    from clraytracer_tpu.runtime.build import native_lib
+
+    if len(payload) >= 216:
+        lib = native_lib()
+        if lib is not None and hasattr(lib, "clrt_qlz_compress"):
+            src = np.frombuffer(payload, np.uint8)
+            out = np.zeros(len(payload) + 400, np.uint8)
+            lib.clrt_qlz_compress.restype = ctypes.c_longlong
+            got = lib.clrt_qlz_compress(
+                src.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                ctypes.c_longlong(len(payload)),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+                ctypes.c_longlong(out.size),
+            )
+            if got > 0:
+                return out[:got].tobytes()
+        else:
+            blob = _qlz_compress_py(payload)
+            if blob is not None:
+                return blob
+    return qlz_store(payload)
+
+
+def _qlz_compress_py(payload: bytes) -> bytes | None:
+    """Pure-Python mirror of the native level-1 encoder (slow path).
+
+    The hash table follows the DECODER's update discipline exactly (literal
+    positions lazily up to cursor-3, each match's first position, bodies
+    skipped), so both tables agree at every match token and all offsets are
+    >= 3 by construction (the reference decoder's MINOFFSET check).
+    Returns None when compression does not beat the stored form."""
+    src = payload
+    n = len(src)
+    if n < 16 or n > 0xFFFFFFFF - 400:
+        return None
+    out = bytearray(9)
+    table = [0] * 4096
+    hashed = -1
+
+    def hash3(p: int) -> int:
+        f = src[p] | src[p + 1] << 8 | src[p + 2] << 16
+        return ((f >> 12) ^ f) & 0xFFF
+
+    def record_upto(upto: int) -> None:
+        nonlocal hashed
+        while hashed < upto:
+            hashed += 1
+            table[hash3(hashed)] = hashed
+
+    cw_at = len(out)
+    out += b"\0\0\0\0"
+    cw_bits = 0
+    cw_n = 0
+
+    def put_flag(bit: int) -> None:
+        nonlocal cw_at, cw_bits, cw_n
+        if cw_n == 31:
+            out[cw_at : cw_at + 4] = (cw_bits | 1 << 31).to_bytes(4, "little")
+            cw_at = len(out)
+            out.extend(b"\0\0\0\0")
+            cw_bits = 0
+            cw_n = 0
+        cw_bits |= bit << cw_n
+        cw_n += 1
+
+    last_matchstart = n - 11
+    pos = 0
+    while pos < n:
+        ln = 0
+        h = 0
+        if pos <= last_matchstart:
+            h = hash3(pos)
+            o = table[h]
+            if o + 3 <= pos and src[o : o + 3] == src[pos : pos + 3]:
+                cap = min(n - 5 - pos, 255)
+                ln = 3
+                while ln < cap and src[o + ln] == src[pos + ln]:
+                    ln += 1
+        if ln >= 3:
+            put_flag(1)
+            tok = h << 4 | (ln - 2 if ln <= 17 else 0)
+            out.append(tok & 0xFF)
+            out.append(tok >> 8)
+            if ln > 17:
+                out.append(ln)
+            record_upto(pos)
+            pos += ln
+            hashed = pos - 1
+        else:
+            put_flag(0)
+            out.append(src[pos])
+            pos += 1
+            record_upto(pos - 3)
+    out[cw_at : cw_at + 4] = (cw_bits | 1 << cw_n).to_bytes(4, "little")
+    if len(out) >= n + 9:
+        return None
+    out[0] = 0x47  # compressed | wide sizes | level 1 | quicklz bit 6
+    out[1:5] = len(out).to_bytes(4, "little")
+    out[5:9] = n.to_bytes(4, "little")
+    return bytes(out)
+
+
 def qlz_store(payload: bytes) -> bytes:
     """Wrap bytes in a stored (uncompressed) container the reference's
     qlz_decompress accepts — used when exporting reference-readable .clm."""
@@ -263,9 +371,9 @@ def load_clm(path: str | Path) -> ObjMesh:
 def save_clm(path: str | Path, obj: ObjMesh) -> None:
     """Write a reference-compatible ``.clm`` (AssetManager.cpp:294-321).
 
-    Colors/attributes round to the reference's storage precision; the tri
-    blob uses a stored QuickLZ container (valid input to the reference's
-    qlz_decompress) rather than a compressed one.
+    Colors/attributes round to the reference's storage precision; at the
+    reference's >= 1000-tri threshold the tri blob is a level-1 QuickLZ
+    compressed container (AssetManager.cpp:310-318), stored-form below it.
     """
     mesh = obj.mesh
     num_tris = mesh.count
@@ -315,9 +423,9 @@ def save_clm(path: str | Path, obj: ObjMesh) -> None:
     if num_tris < 1000:
         out += tris.tobytes()
     else:
-        stored = qlz_store(tris.tobytes())
-        out += struct.pack("<Q", len(stored))
-        out += stored
+        packed = qlz_compress(tris.tobytes())
+        out += struct.pack("<Q", len(packed))
+        out += packed
     Path(path).write_bytes(bytes(out))
 
 

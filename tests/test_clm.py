@@ -126,6 +126,93 @@ def test_reference_clm_assets_load():
                 ), (rel, mat.diffuse_map)
 
 
+def _compressible(n: int, seed: int) -> bytes:
+    """Tri-blob-like data: repetitive records with noise sprinkled in."""
+    rng = np.random.default_rng(seed)
+    rec = rng.integers(0, 256, 80, dtype=np.uint8)
+    buf = np.tile(rec, n // 80 + 1)[:n]
+    idx = rng.integers(0, max(n, 1), max(n // 7, 1))
+    buf[idx] = rng.integers(0, 256, idx.size, dtype=np.uint8)
+    return buf.tobytes()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize(
+    "n", [16, 17, 30, 31, 32, 100, 215, 216, 1000, 4096, 100_000]
+)
+def test_qlz_compress_roundtrip(n, seed):
+    """Level-1 encode -> decode identity through BOTH decoders, across the
+    stored/compressed and narrow/wide boundaries and control-word edges."""
+    from clraytracer_tpu.scene.clm import qlz_compress
+
+    for payload in (
+        _compressible(n, seed),
+        np.random.default_rng(seed).integers(0, 256, n, np.uint8).tobytes(),
+        bytes(n),
+    ):
+        blob = qlz_compress(payload)
+        assert qlz_decompress(blob, len(payload)) == payload
+        assert _qlz_decompress_py(blob, len(payload)) == payload
+
+
+def test_qlz_compress_python_mirror_is_bit_identical():
+    """The pure-Python encoder and the native one emit the same stream
+    (same greedy algorithm, same table discipline)."""
+    from clraytracer_tpu.runtime.build import native_lib
+    from clraytracer_tpu.scene.clm import _qlz_compress_py, qlz_compress
+
+    if native_lib() is None:
+        pytest.skip("native runtime unavailable")
+    for n, seed in ((216, 0), (5000, 1), (77_777, 2)):
+        payload = _compressible(n, seed)
+        assert qlz_compress(payload) == _qlz_compress_py(payload)
+
+
+def test_qlz_compress_shrinks_tri_blobs():
+    from clraytracer_tpu.scene.clm import qlz_compress
+
+    obj = _random_mesh(3000)
+    tris = np.zeros(3000, TRI_DTYPE)
+    for name in ("v0", "v1", "v2"):
+        tris[name][:, :3] = getattr(obj.mesh, name)
+    payload = tris.tobytes()
+    blob = qlz_compress(payload)
+    assert blob[0] & 1, "tri blob should take the compressed branch"
+    assert len(blob) < len(payload) * 0.8
+    assert qlz_decompress(blob, len(payload)) == payload
+
+
+def test_qlz_compress_incompressible_falls_back_to_stored():
+    from clraytracer_tpu.scene.clm import qlz_compress
+
+    payload = np.random.default_rng(7).integers(0, 256, 4096, np.uint8).tobytes()
+    blob = qlz_compress(payload)
+    assert not blob[0] & 1  # stored container
+    assert qlz_decompress(blob, len(payload)) == payload
+
+
+@needs_reference
+def test_qlz_recompressed_sponza_size_near_reference():
+    """Our encoder's output on sponza's tri arena lands within 1.2x of the
+    reference's own compressed stream for the same bytes."""
+    import struct
+
+    from clraytracer_tpu.scene.clm import qlz_compress
+
+    data = (REF_ASSETS / "sponza/sponza.clm").read_bytes()
+    _, num_tris, num_mats = struct.unpack_from("<Iii", data, 0)
+    off = 12 + num_mats * 24
+    (msz,) = struct.unpack_from("<I", data, off)
+    off += 4 + msz
+    (csz,) = struct.unpack_from("<Q", data, off)
+    blob = data[off + 8 : off + 8 + csz]
+    dsize = num_tris * TRI_DTYPE.itemsize
+    raw = qlz_decompress(blob, dsize)
+    ours = qlz_compress(raw)
+    assert qlz_decompress(ours, dsize) == raw
+    assert len(ours) <= 1.2 * len(blob), (len(ours), len(blob))
+
+
 @needs_reference
 def test_qlz_python_fallback_matches_native():
     """Decode sponza's real compressed stream with both implementations."""
