@@ -46,7 +46,14 @@ def main() -> None:
                     help="benchmark the DIFFERENTIABLE fwd+bwd step (image "
                     "L2 loss, gradients w.r.t. every scene leaf) instead of "
                     "the forward frame (BASELINE configs 3/4)")
+    ap.add_argument("--matrix", action="store_true",
+                    help="run the full benchmark matrix (flagship / museum / "
+                    "1M-tri / atlas / GI / grads) as isolated subprocesses, "
+                    "print one JSON line per row, and write BENCH_MATRIX.json")
     args = ap.parse_args()
+
+    if args.matrix:
+        return _bench_matrix(args)
 
     import jax
 
@@ -262,6 +269,50 @@ def _bench_grads(args, scene, frame, config, scene_label) -> None:
             }
         )
     )
+
+
+def _bench_matrix(args) -> None:
+    """The numbers that actually move round to round (VERDICT r4 item 7):
+    each row runs in its own subprocess (fresh backend — one row's compile
+    or failure can't poison the next), prints its own JSON line, and the
+    collected rows land in BENCH_MATRIX.json next to this script."""
+    import os
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rows_spec = [
+        ("flagship", []),
+        ("museum", ["--scene", "museum"]),
+        ("1M-tri", ["--tris", "1000000"]),
+        ("atlas", ["--atlas"]),
+        ("gi", ["--gi"]),
+        ("grads", ["--grads", "--iters", "4"]),
+    ]
+    rows = []
+    for name, extra in rows_spec:
+        cmd = [sys.executable, os.path.join(here, "bench.py"),
+               "--width", str(args.width), "--height", str(args.height),
+               "--iters", str(args.iters), *extra]
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=1800
+            )
+            line = next(
+                (ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")), None
+            )
+            if proc.returncode != 0 or line is None:
+                row = {"metric": name, "error":
+                       (proc.stderr or "no output").strip()[-500:]}
+            else:
+                row = json.loads(line)
+                row["row"] = name
+        except subprocess.TimeoutExpired:
+            row = {"metric": name, "error": "timeout"}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    with open(os.path.join(here, "BENCH_MATRIX.json"), "w") as f:
+        json.dump(rows, f, indent=1)
 
 
 def _best_tracer_name(tracers: dict) -> str:

@@ -55,12 +55,14 @@ def take_rows(table: Array, idx: Array) -> Array:
 #: row count), so the crossover vs ~16 ns/update scatter sits near 2M
 SORTED_VJP_MIN_N = 2 << 20
 
-#: crossover for the WIDE-table (tri-table [T, 25]) perm variant. Its
-#: searchsorted leg scales with the TABLE row count (thousands, not the
-#: pool's 147k), so the fixed cost is near-zero and the sorted backward
-#: wins as soon as the serialized scatter would process a few hundred k
-#: updates x 25 lanes (~95 ms at 540p per diff.py's measurement)
-SORTED_VJP_WIDE_MIN_N = 1 << 18
+#: crossover for the WIDE-table perm variant — only reachable for tables
+#: too large for the gather_pallas MXU kernel (> 16k rows, museum-class).
+#: Kept at the conservative pool-derived value: a 1080p A/B (2026-08-21,
+#: tools/grads_breakdown.py) read the perm backward SLOWER than the
+#: serialized scatter at 2M x 25 on the 4k-row table (349.8 vs ~161 ms
+#: all-leaves step), so the lower crossover the r4 advisor hypothesized
+#: did not materialize on hardware
+SORTED_VJP_WIDE_MIN_N = 2 << 20
 
 
 def take_rgb(pool: Array, idx: Array) -> Array:
@@ -191,10 +193,20 @@ take_rows_sorted_perm_vjp.defvjp(
 
 def wide_rows_diff(table: Array, idx: Array) -> Array:
     """Differentiable row gather for WIDE mid-size tables (the tracer's
-    [T, 25] combined triangle table): sorted-permutation backward at
-    frame-scale index counts on TPU, plain scatter VJP below it."""
-    if jax.default_backend() == "tpu" and idx.size >= SORTED_VJP_WIDE_MIN_N:
-        return take_rows_sorted_perm_vjp(table, idx)
+    [T, 25] combined triangle table).
+
+    On TPU, tables that fit VMEM take the chunk-predicated one-hot MXU
+    kernel (ops/gather_pallas.py) — bit-exact forward, matmul-accumulated
+    backward, no serialized gather/scatter in either direction. Larger
+    tables fall back to the XLA row gather, with the sorted-permutation
+    backward at very large index counts."""
+    if jax.default_backend() == "tpu":
+        from clraytracer_tpu.ops import gather_pallas
+
+        if gather_pallas.supported(table, idx) and idx.size >= 4096:
+            return gather_pallas.take_rows_mxu(table, idx)
+        if idx.size >= SORTED_VJP_WIDE_MIN_N:
+            return take_rows_sorted_perm_vjp(table, idx)
     return take_rows(table, idx)
 
 

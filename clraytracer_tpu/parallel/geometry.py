@@ -157,6 +157,73 @@ def make_mesh_2d(
     return Mesh(grid, axis_names=(RAY_AXIS, GEO_AXIS))
 
 
+def train_step_sharded_2d(
+    scene: Scene,
+    frame: FrameInputs,
+    target: Array,  # [H, W, 3], H a multiple of the ray-axis size
+    mesh: Mesh,
+    lr: float = 1e-2,
+    bounces: int = 2,
+):
+    """One inverse-rendering SGD step over the 2-D ('devices', 'geo') mesh.
+
+    Rays shard over ``devices`` exactly like
+    :func:`parallel.sharding.train_step_sharded`; each geo shard traverses
+    only its instance block and :func:`combine_hits` reduces hit records
+    over ``geo``. The differentiable recompute (diff.py) runs on the
+    COMBINED records, so every differentiable quantity — and therefore the
+    local gradient — is geo-REPLICATED: the explicit all-reduce sums over
+    the ray axis only (a geo psum would overcount by the geo size). Returns
+    (global loss, updated scene), both fully replicated.
+    """
+    from clraytracer_tpu.diff import make_differentiable_tracer
+    from clraytracer_tpu.parallel.sharding import (
+        _float_leaf_view,
+        _shade_rows,
+    )
+
+    n_rows = mesh.shape[RAY_AXIS]
+    n_geo = mesh.shape[GEO_AXIS]
+    height, width = target.shape[0], target.shape[1]
+    assert height % n_rows == 0, "pad target rows to a multiple of the ray axis"
+    local_rows = height // n_rows
+    tracer = make_differentiable_tracer(make_geo_sharded_tracer(n_geo))
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(RAY_AXIS, None, None)),
+        out_specs=(P(), P()),
+        # vma tracking off: same contract as train_step_sharded — gradients
+        # are explicit-psum'd below, pinned by
+        # tests/test_geometry_sharding.py::test_train_step_2d_grads_match_unsharded
+        check_vma=False,
+    )
+    def step(scene_rep: Scene, frame_rep: FrameInputs, target_local: Array):
+        idx = jax.lax.axis_index(RAY_AXIS)
+        row0 = idx * local_rows
+        params, rebuild = _float_leaf_view(scene_rep)
+
+        def local_loss(p) -> Array:
+            img = _shade_rows(
+                rebuild(p), frame_rep, width, height, row0, local_rows,
+                bounces, tracer, reference_parity=True, integer_colors=False,
+            )
+            return jnp.sum((img - target_local) ** 2)
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        # ray-axis all-reduce ONLY (see docstring: grads are geo-replicated)
+        loss = jax.lax.psum(loss, RAY_AXIS)
+        grads = jax.lax.psum(grads, RAY_AXIS)
+        denom = 1.0 / (height * width * 3)
+        new_params = [
+            p - lr * g.astype(p.dtype) * denom for p, g in zip(params, grads)
+        ]
+        return loss * denom, rebuild(new_params)
+
+    return step(scene, frame, target)
+
+
 def render_sharded_2d(
     scene: Scene,
     frame: FrameInputs,

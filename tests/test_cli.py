@@ -47,6 +47,7 @@ def test_cli_inspect_and_snapshot_roundtrip(tmp_path, capsys):
     assert summary2 == summary
 
 
+@pytest.mark.slow
 def test_cli_sweep_virtual_mesh(capsys):
     """The scaling sweep runs end-to-end over the virtual 8-device mesh
     (mechanism check; real-ICI numbers need hardware): rows for 1/2/4/8

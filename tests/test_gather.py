@@ -116,3 +116,43 @@ def test_take_rows_sorted_perm_vjp_matches_scatter():
     np.testing.assert_allclose(
         np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4
     )
+
+
+def test_take_rows_mxu_forward_bit_exact():
+    """The chunk-predicated one-hot MXU gather (ops/gather_pallas.py,
+    interpret mode on CPU) is bit-exact vs the XLA row gather, including
+    clip-mode out-of-range indices and non-multiple shapes."""
+    import jax
+
+    from clraytracer_tpu.ops.gather_pallas import take_rows_mxu
+
+    rng = np.random.default_rng(1)
+    for T, W, shape in ((700, 25, (24, 128)), (512, 32, (9,)), (1500, 7, (4, 40))):
+        table = jnp.asarray(rng.normal(size=(T, W)).astype(np.float32) * 100)
+        idx = jnp.asarray(rng.integers(-3, T + 5, shape).astype(np.int32))
+        ref = gather.take_rows(table, idx)
+        got = take_rows_mxu(table, idx)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_take_rows_mxu_vjp_matches_scatter():
+    import jax
+
+    from clraytracer_tpu.ops.gather_pallas import take_rows_mxu
+
+    rng = np.random.default_rng(2)
+    T, W = 1300, 25
+    table = jnp.asarray(rng.normal(size=(T, W)).astype(np.float32))
+    # coherent winner blocks + some repeats, the tracer's idx statistics
+    idx = jnp.asarray(
+        np.sort(rng.integers(0, T, (16, 128)).astype(np.int32), axis=None)
+        .reshape(16, 128)
+    )
+    g = jnp.asarray(rng.normal(size=(W, 16, 128)).astype(np.float32))
+    _, vjp_ref = jax.vjp(lambda t: gather.take_rows(t, idx), table)
+    _, vjp_got = jax.vjp(lambda t: take_rows_mxu(t, idx), table)
+    (dr,) = vjp_ref(g)
+    (dg,) = vjp_got(g)
+    np.testing.assert_allclose(
+        np.asarray(dr), np.asarray(dg), rtol=1e-5, atol=1e-5
+    )

@@ -92,6 +92,7 @@ def test_geo_sharded_tracer_matches_wavefront(multi_instance_scene):
     np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(hit))
 
 
+@pytest.mark.slow
 def test_render_2d_mesh_matches_single_device(multi_instance_scene):
     scene = multi_instance_scene
     w, h = 48, 32
@@ -139,3 +140,68 @@ def test_geo_shards_exceed_instances(multi_instance_scene):
     np.testing.assert_array_equal(np.asarray(ref.t), np.asarray(t))
     np.testing.assert_array_equal(np.asarray(ref.tri), np.asarray(tri))
     np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(hit))
+
+
+@pytest.mark.slow
+def test_train_step_2d_grads_match_unsharded(multi_instance_scene):
+    """VERDICT r4 item 8: gradient parity THROUGH the 2-D (devices x geo)
+    mesh — pins the check_vma=False explicit-psum contract (ray-axis psum
+    only; geo-replicated grads must not be double-counted)."""
+    from clraytracer_tpu.diff import image_loss_and_grads
+    from clraytracer_tpu.parallel.geometry import train_step_sharded_2d
+    from clraytracer_tpu.parallel.sharding import replicate_scene
+    from clraytracer_tpu.render import frame_inputs_from_camera
+
+    W, H = 32, 24
+    scene = multi_instance_scene
+    cam = Camera.create(
+        CameraConfig(position=(0.17, 0.23, 7.0), yaw_deg=-90.0), W, H
+    )
+    frame = frame_inputs_from_camera(cam, -1.96)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+
+    # oracle with the WAVEFRONT hit-finder: the geo-sharded tracer is its
+    # exact twin (same tie semantics); the default Pallas tracer picks
+    # different equal-t winners on instance-overlap seams, which shifts
+    # a-few-percent of the albedo gradient on this deliberately-overlapping
+    # scene — that's tracer choice, not a sharding error
+    _, g_ref = image_loss_and_grads(
+        scene, frame, W, H, target=target, base_tracer=trace_wavefront
+    )
+    ga_ref = np.asarray(g_ref.materials.albedo)
+
+    mesh2 = make_mesh_2d(4, 2)
+    scene_rep = replicate_scene(scene, mesh2)
+    lr = 1.0
+    loss, new_scene = train_step_sharded_2d(
+        scene_rep, frame, target, mesh2, lr=lr
+    )
+    assert np.isfinite(float(loss))
+    ga_2d = (
+        np.asarray(scene.materials.albedo)
+        - np.asarray(new_scene.materials.albedo)
+    ) / (lr / (H * W * 3))
+    # image_loss_and_grads's target loss is MEAN over pixels*channels
+    np.testing.assert_allclose(
+        ga_2d, ga_ref * (H * W * 3), rtol=2e-2, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_train_step_2d_reduces_loss(multi_instance_scene):
+    from clraytracer_tpu.parallel.geometry import train_step_sharded_2d
+    from clraytracer_tpu.parallel.sharding import replicate_scene
+    from clraytracer_tpu.render import frame_inputs_from_camera
+
+    W, H = 16, 8
+    cam = Camera.create(
+        CameraConfig(position=(0.17, 0.23, 7.0), yaw_deg=-90.0), W, H
+    )
+    frame = frame_inputs_from_camera(cam, -1.96)
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
+    mesh2 = make_mesh_2d(2, 2)
+    scene = replicate_scene(multi_instance_scene, mesh2)
+    loss0, scene1 = train_step_sharded_2d(scene, frame, target, mesh2, lr=50.0)
+    loss1, _ = train_step_sharded_2d(scene1, frame, target, mesh2, lr=50.0)
+    assert float(loss1) < float(loss0)

@@ -51,6 +51,7 @@ def viewer():
         proc.wait(timeout=10)
 
 
+@pytest.mark.slow
 def test_viewer_endpoints(viewer):
     page = _get("/")
     assert b"clraytracer_tpu" in page

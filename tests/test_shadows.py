@@ -4,6 +4,8 @@ ray toward the sun; blocked points lose the direct terms but keep ambient."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -74,6 +76,7 @@ def test_shadow_mask_consistent_across_tracers():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_kernel_shadows_match_wavefront():
     """The fused Pallas megakernel's in-kernel shadow pass (second
     traversal from the offset hit point toward the sun) must agree with

@@ -52,6 +52,7 @@ def test_sharded_render_uneven_rows(sphere_scene, mesh):
     assert np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_sharded_pallas_fused_matches_single_device(procedural_scene, mesh):
     """The PRODUCTION path under shard_map (VERDICT r3 item 1): the fused
     Pallas render kernel (all-procedural scene) sharded by rows over 8
@@ -83,6 +84,7 @@ def test_sharded_pallas_fused_matches_single_device(procedural_scene, mesh):
     np.testing.assert_allclose(img_shard, img_frame, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_pallas_atlas_matches_single_device(sphere_scene, mesh):
     """Atlas-texture scene through the Pallas path under shard_map equals
     the 1-device-mesh frame exactly (deferred-texel fused mode)."""
@@ -106,6 +108,7 @@ def test_sharded_pallas_atlas_matches_single_device(sphere_scene, mesh):
     np.testing.assert_array_equal(img_shard, img_one)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss(sphere_scene, mesh):
     frame = _frame()
     rng = np.random.default_rng(0)
@@ -117,6 +120,7 @@ def test_train_step_reduces_loss(sphere_scene, mesh):
     assert float(loss1) < float(loss0)
 
 
+@pytest.mark.slow
 def test_sharded_grads_match_unsharded(sphere_scene, mesh):
     from clraytracer_tpu.diff import image_loss_and_grads
 
@@ -137,3 +141,29 @@ def test_sharded_grads_match_unsharded(sphere_scene, mesh):
     ) / (lr / (H * W * 3))
     # image_loss_and_grads default target-loss is mean over pixels*channels
     np.testing.assert_allclose(ga_shard, ga_ref * (H * W * 3), rtol=2e-2, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_sharded_grads_match_unsharded_five_devices(sphere_scene):
+    """VERDICT r4 item 8: the explicit-psum gradient contract at a
+    NON-power-of-2 device count (5 of the 8 virtual devices)."""
+    from clraytracer_tpu.diff import image_loss_and_grads
+
+    W5, H5 = 32, 20  # 20 rows over 5 devices -> 4 rows each
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), W5, H5)
+    frame = frame_inputs_from_camera(cam, -1.96)
+    target = jnp.zeros((H5, W5, 3), jnp.float32)
+    _, g_ref = image_loss_and_grads(sphere_scene, frame, W5, H5, target=target)
+    ga_ref = np.asarray(g_ref.materials.albedo)
+
+    mesh5 = make_device_mesh(jax.devices()[:5])
+    lr = 1.0
+    scene = replicate_scene(sphere_scene, mesh5)
+    _, new_scene = train_step_sharded(scene, frame, target, mesh5, lr=lr)
+    ga_shard = (
+        np.asarray(scene.materials.albedo)
+        - np.asarray(new_scene.materials.albedo)
+    ) / (lr / (H5 * W5 * 3))
+    np.testing.assert_allclose(
+        ga_shard, ga_ref * (H5 * W5 * 3), rtol=2e-2, atol=1e-5
+    )

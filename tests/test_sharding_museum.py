@@ -52,6 +52,7 @@ def streamed_scene():
     return scene
 
 
+@pytest.mark.slow
 def test_sharded_streamed_forward_matches_single(streamed_scene, monkeypatch):
     from clraytracer_tpu.camera import Camera
     from clraytracer_tpu.config import CameraConfig, RenderConfig

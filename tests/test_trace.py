@@ -1,6 +1,7 @@
 """Tracing tests: intersection semantics, brute-vs-BVH agreement (the
 framework's CPU/GPU-twin cross-check, SURVEY.md §3.4), and full renders."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -295,6 +296,7 @@ def test_fused_render_matches_two_phase(procedural_scene, monkeypatch):
     np.testing.assert_allclose(img_f, img_2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_atlas_render_matches_two_phase(two_instance_scene, monkeypatch):
     """Scenes with IMPORTED (non-procedural) textures now run the fused
     megakernel too, in deferred-texel mode: the kernel computes pool
@@ -424,6 +426,7 @@ def test_streamed_hyper_matches_resident_direct(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_streamed_tables_match_resident(monkeypatch):
     """Scenes beyond the VMEM table budget now stay on the Pallas path by
     DMA-streaming cluster geometry from HBM (clusters.geo_stream). Hits and
@@ -516,6 +519,7 @@ def test_row_binned_secondary_matches_unbinned(sphere_scene, monkeypatch):
     np.testing.assert_array_equal(img_b, img_0)
 
 
+@pytest.mark.slow
 def test_fused_split_rebin_matches_unsplit(monkeypatch):
     """Bounce-boundary split of the fused camera-mode kernel (carry state
     out, re-bin ray rows, resume in a second invocation —
