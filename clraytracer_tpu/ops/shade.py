@@ -507,7 +507,14 @@ def shade_hits(
     # gather is XLA's serial scalar loop (~15-22 ms at 1080p), the
     # dominant frame cost, so gathers are never spent twice.
     aw, ah, aoff = rec(8)
-    inline = fast and _all_procedural(scene)
+    # inline holds in EVERY color mode: the baked atlas equals the
+    # descriptor evaluation exactly (test_inline_shading_matches_pool_
+    # gather), so the float/differentiable path skips the pool gather too —
+    # its VJP was a 2M-update serialized pool scatter per bounce (~40 ms at
+    # 1080p) for texels the production forward never reads; texel gradients
+    # for all-procedural scenes are identically zero by design (imported-
+    # texture scenes keep the pool path and its texel gradients)
+    inline = _all_procedural(scene)
     if inline:
         sky = _eval_skybox_inline(scene, sky_idx, skw, skoff)
         texel = planar.where(

@@ -202,9 +202,10 @@ def bounce_loop(
     # ONE combined gather after the loop — one sorted-scatter VJP per
     # differentiable frame instead of one per bounce (the per-frame
     # searchsorted/sort fixed costs were ~30 ms/bounce of the 1080p
-    # fwd+bwd step). The float path always gathers the pool — texel
-    # gradients exist for procedural scenes too, their images are baked in
-    # (scene/types.Scene.procedural_tex) — so deferral applies scene-wide.
+    # fwd+bwd step). All-procedural scenes never reach the pool at all
+    # (shade.py evaluates descriptors in-register in every color mode), so
+    # the deferral list stays empty there; imported-texture scenes gather
+    # the pool and keep texel gradients.
     # (_DEFER_TEXELS is a test hook: parity tests pin deferred == direct.)
     defer_list: list | None = (
         []
@@ -278,6 +279,12 @@ def bounce_loop(
         )
 
     import os
+
+    if os.environ.get("CLRT_REMAT_BOUNCES", "0") == "1":
+        # experiment hook: rematerialize each bounce in the backward pass
+        # instead of storing its intermediates (trades ~2x forward compute
+        # for residual HBM traffic)
+        one_bounce = jax.checkpoint(one_bounce, static_argnums=(1,))
 
     scan_ok = os.environ.get("CLRT_SCAN_BOUNCES", "0") == "1"
     if scan_ok and bounces > 1 and not enable_shadows and not enable_gi:

@@ -161,6 +161,10 @@ def main() -> None:
                   take_rgb=fake_take_rgb, take_rows=fake_take_rows)
 
     timed("grads: ALL leaves", grads_with(()))
+    timed(
+        "grads: NO leaves (backward floor)",
+        grads_with(("tris", "atlas", "materials", "instances")),
+    )
     timed("grads: no atlas (texel scatter off)", grads_with(("atlas",)))
     timed("grads: no tris", grads_with(("tris",)))
     timed("grads: no materials", grads_with(("materials",)))
