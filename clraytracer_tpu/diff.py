@@ -65,6 +65,13 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
             # recompute below (the resolve measured 16.9 ms of a 53 ms
             # r16 trace on the 1M-tri scene)
             kw["variant"] = "noattr"
+        # consume the kernel's raw cluster-slot ids and index a slot-ordered
+        # copy of the combined table instead: the slot -> original-tri remap
+        # is a per-ray serialized s32 gather (14.8 ms/bounce at 1080p,
+        # profiled); the table reorder below is a T-row gather once per step
+        use_slots = "return_slots" in params and scene.clusters is not None
+        if use_slots:
+            kw["return_slots"] = True
         hit = jax.lax.stop_gradient(
             tracer_fn(
                 jax.lax.stop_gradient(scene),
@@ -108,6 +115,15 @@ def make_differentiable_tracer(base_tracer: Tracer = trace_wavefront) -> Tracer:
             ],
             axis=1,
         )  # [T, 25]
+        if use_slots:
+            # slot-ordered view (differentiable: the VJP scatters the
+            # [S, 25] cotangent back onto the T canonical rows — S rows,
+            # not 2M rays). Slot ids are also MORE coherent than tri ids
+            # (cluster-ordered), which tightens the MXU gather's chunk span.
+            gid = jax.lax.stop_gradient(
+                jnp.clip(scene.clusters.tri_gid, 0, vt.shape[0] - 1)
+            )
+            vt = jnp.take(vt, gid, axis=0)  # [S, 25]
         rows = take_rows(vt, tri)  # [25, ...] planar
         v0, v1, v2 = rows[0:3], rows[3:6], rows[6:9]
         e1 = v1 - v0

@@ -335,10 +335,36 @@ def _reduce_to_table_vma(d_table, g, table_proto):
 onehot_rows_exact.defvjp(_onehot_rows_exact_fwd, _onehot_rows_exact_bwd)
 
 
+def select_rows_diff(table: Array, idx: Array) -> Array:
+    """Differentiable row gather for TINY tables (a handful of rows — e.g.
+    a 1-2 instance registry) as a static select chain: R masked
+    broadcast-accumulate passes, each a fused [W, N] op. The one-hot form
+    materializes [3*W, N] plane products per gather (profiled ~1.2-1.4 ms
+    each at 1080p for a 1-row instance table); this is R cheap passes, and
+    its autodiff VJP is the matching chain of masked reductions — exact
+    (each term is a plain f32 multiply by a {0,1} mask, no MXU pass)."""
+    num_rows, width = table.shape
+    idx = jnp.clip(idx, 0, num_rows - 1)  # take_rows/onehot clip semantics
+    out = jnp.zeros((width,) + idx.shape, jnp.float32)
+    for j in range(num_rows):
+        mask = (idx == j).astype(jnp.float32)
+        out = out + mask * table[j].reshape((width,) + (1,) * idx.ndim)
+    return out
+
+
+#: row count at or below which the select chain beats the one-hot matmul
+#: (each one-hot gather moves 3-plane [3W, N] products through HBM; the
+#: chain costs R fused passes — crossover measured shallow, keep it small)
+SELECT_DIFF_MAX_ROWS = 8
+
+
 def small_rows_diff(table: Array, idx: Array) -> Array:
-    """Differentiable row gather that picks the MXU one-hot form for small
-    tables (exact values AND exact gradients) and the row gather + scatter
-    VJP past :data:`ONEHOT_DIFF_MAX_ROWS`."""
+    """Differentiable row gather that picks the cheapest exact form by
+    table size: select chain for tiny tables, MXU one-hot (exact values
+    AND exact gradients) for small ones, row gather + scatter VJP past
+    :data:`ONEHOT_DIFF_MAX_ROWS`."""
+    if table.shape[0] <= SELECT_DIFF_MAX_ROWS:
+        return select_rows_diff(table, idx)
     if table.shape[0] <= ONEHOT_DIFF_MAX_ROWS:
         return onehot_rows_exact(table, idx)
     return take_rows(table, idx)

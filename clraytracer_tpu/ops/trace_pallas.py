@@ -1126,6 +1126,7 @@ def _table_bytes(clusters) -> int:
 def trace_pallas(
     scene: Scene, origin: Array, direction: Array, variant: str = "full",
     rows: int | None = None, live: Array | None = None,
+    return_slots: bool = False,
 ) -> SceneHit:
     """Drop-in Tracer backed by the Pallas tile kernel.
     ``origin``/``direction``: planar [3, ...] — tiling is a pure reshape.
@@ -1213,7 +1214,16 @@ def trace_pallas(
     # dead lanes carry t = -BIG (see ``live``): report them as misses
     hit = (t < _BIG) if live is None else (jnp.abs(t) < _BIG)
 
-    tri = jnp.take(clusters.tri_gid, tri_slot, mode="clip")
+    # ``return_slots``: hand back the kernel's RAW cluster-slot ids and skip
+    # the slot -> original-triangle remap, a per-ray serialized s32 gather
+    # XLA can't vectorize (measured 14.8 ms/bounce at 1080p). The
+    # differentiable tracer (diff.py) gathers its per-triangle table by
+    # slot instead — it reorders the [T, 25] table into slot order once per
+    # step (a T-row gather) — so the 2M-ray remap is dead code there.
+    if return_slots:
+        tri = tri_slot
+    else:
+        tri = jnp.take(clusters.tri_gid, tri_slot, mode="clip")
 
     # NOTE deliberately no mesh_origin/mesh_direction here: reconstructing
     # the object-space ray per ray costs a per-ray instance gather, which
