@@ -969,31 +969,39 @@ def _finish_frame(
     if extra is not None:
         K = (7, 6)[atlas_mode - 1] + (3 if gi else 0)
         rows_total = res.shape[1]
-        ex = (
-            extra.reshape(n_tiles, K * bounces, rows, 128)
-            .transpose(1, 0, 2, 3)
-            .reshape(K * bounces, rows_total, 128)
-        )
+
+        # field row-block k as [rows_total, 128]: a pure reshape of the
+        # kernel's native tile-major [T, K*B*ROWS, 128] output (the old
+        # whole-array transpose to [K*B, rows_total, 128] materialized a
+        # 2.8 ms relayout at 1080p, profiled)
+        def blk(k: int) -> Array:
+            return extra[:, k * rows : (k + 1) * rows, :].reshape(
+                rows_total, 128
+            )
+
+        def blk3(k: int) -> Array:  # [3, rows_total, 128]
+            return jnp.stack([blk(k), blk(k + 1), blk(k + 2)])
+
         if atlas_mode == 1:
             raw = jnp.stack(
                 [
-                    jax.lax.bitcast_convert_type(ex[K * b], jnp.int32)
+                    jax.lax.bitcast_convert_type(blk(K * b), jnp.int32)
                     for b in range(bounces)
                 ]
             )
             miss_all = raw < 0
             hit_all = raw >= 0  # (dead lanes emit 0: P-safe, coefs zero)
             tex_idx = raw
-            mat_b = jnp.stack(
-                [ex[K * b + 1 : K * b + 4] for b in range(bounces)], axis=1
-            )  # [3, B, rows, 128]
-            coefs = [ex[K * b + 4 : K * b + 7] for b in range(bounces)]
-            coefs_a = [ex[K * b + 7 : K * b + 10] for b in range(bounces)]
+            mats = [blk3(K * b + 1) for b in range(bounces)]
+            coefs = [blk3(K * b + 4) for b in range(bounces)]
+            # ambient coefficients: emitted by the kernel only in GI mode
+            # (K covers them only then)
+            coefs_a = [blk3(K * b + 7) for b in range(bounces)] if gi else None
         else:
             # one one-hot material-row gather over every bounce's lanes
             # (the -1 miss / -2 dead sentinels clamp to row 0, whose
             # values are discarded by the zero coefficients)
-            mid_all = jnp.stack([ex[K * b] for b in range(bounces)])
+            mid_all = jnp.stack([blk(K * b) for b in range(bounces)])
             mat = onehot_rows(
                 pk.mat_rows, mid_all.astype(jnp.int32)
             )  # [16, B, rows, 128]
@@ -1001,8 +1009,8 @@ def _finish_frame(
             off_i = mat[10].astype(jnp.int32) * (
                 1 << _OFF_SHIFT
             ) + mat[11].astype(jnp.int32)  # hi/lo split (ops/shade.py)
-            uu = jnp.stack([ex[K * b + 1] for b in range(bounces)])
-            vv = jnp.stack([ex[K * b + 2] for b in range(bounces)])
+            uu = jnp.stack([blk(K * b + 1) for b in range(bounces)])
+            vv = jnp.stack([blk(K * b + 2) for b in range(bounces)])
             # shade._pool_index, op for op (wrap + truncating scale)
             ui = ((uu - jnp.floor(uu)) * aw).astype(jnp.int32)
             vi = ((vv - jnp.floor(vv)) * ah).astype(jnp.int32)
@@ -1014,8 +1022,9 @@ def _finish_frame(
                 0,
             )
             mat_b = jnp.round(jnp.clip(mat[0:3], 0.0, 1.0) * 255.0)
-            coefs = [ex[K * b + 3 : K * b + 6] for b in range(bounces)]
-            coefs_a = [ex[K * b + 6 : K * b + 9] for b in range(bounces)]
+            mats = [mat_b[:, b] for b in range(bounces)]
+            coefs = [blk3(K * b + 3) for b in range(bounces)]
+            coefs_a = [blk3(K * b + 6) for b in range(bounces)] if gi else None
         # lanes that missed at this bounce (sentinel -1 / mid -1) fetch
         # their skybox texel through the SAME combined gather — a lane
         # misses at most once, so summing the miss-masked texels
@@ -1042,10 +1051,13 @@ def _finish_frame(
         else:
             tex_all = take_rgb(scene.atlas.texels, idx_all)
         # integer color modulate (shade._modulate_bytes, bit-exactly —
-        # mat_b is the material's exact color bytes) and the per-bounce
-        # coefficient multiply
+        # mats[b] carries the material's exact color bytes) and the
+        # per-bounce coefficient multiply
         tex_b = jnp.round(tex_all * 255.0)
-        color = jnp.floor(mat_b * tex_b * (1.0 / 256.0)) * _U8
+        colors = [
+            jnp.floor(mats[b] * tex_b[:, b] * (1.0 / 256.0)) * _U8
+            for b in range(bounces)
+        ]
         sky = jnp.zeros_like(res)
         if gi:
             # GI energy is texel-dependent: fold the per-lane running color
@@ -1057,16 +1069,16 @@ def _finish_frame(
             for b in range(bounces):
                 res = (
                     res
-                    + coefs[b] * color[:, b] * P
-                    + coefs_a[b] * color[:, b]
+                    + coefs[b] * colors[b] * P
+                    + coefs_a[b] * colors[b]
                 )
                 sky = jnp.where(
                     miss_all[b][None], sky + tex_all[:, b] * P, sky
                 )
-                P = jnp.where(hit_all[b][None], P * color[:, b], P)
+                P = jnp.where(hit_all[b][None], P * colors[b], P)
         else:
             for b in range(bounces):
-                res = res + coefs[b] * color[:, b]
+                res = res + coefs[b] * colors[b]
                 sky = jnp.where(miss_all[b][None], sky + tex_all[:, b], sky)
     else:
         sky = _eval_skybox_inline(scene, sky_idx, pk.skybox_w, pk.skybox_off)
