@@ -528,7 +528,25 @@ def shade_hits(
         idx = jnp.where(hit, alb_idx, sky_idx)
         idx = jnp.where(state.alive, idx, 0)
         if deferred is None:
-            texel = gather.take_rgb(atlas.texels, idx)
+            pk_tex = getattr(scene.packed, "texels_u32", None) if fast else None
+            if pk_tex is not None:
+                # large pools (> FLAT_TEXEL_MIN texels, scene/builder.py):
+                # flat packed-RGB8 gather + byte unpack — the [P, 4] row
+                # gather falls off XLA's scoped-VMEM staging at this size
+                # and reads HBM per row (the fused path measured 107 -> 30
+                # ms on the museum frame with this same switch,
+                # render_pallas._finish_frame). texel = byte * (1/255) is
+                # the pool's own construction formula: bit-identical.
+                word = jnp.take(pk_tex, idx, mode="clip")
+                texel = jnp.stack(
+                    [
+                        (word & 0xFF).astype(jnp.float32) * _U8,
+                        ((word >> 8) & 0xFF).astype(jnp.float32) * _U8,
+                        ((word >> 16) & 0xFF).astype(jnp.float32) * _U8,
+                    ]
+                )
+            else:
+                texel = gather.take_rgb(atlas.texels, idx)
             sky = texel  # valid on miss lanes only (masked below)
         else:
             assert reference_parity and not integer_colors, (

@@ -129,3 +129,38 @@ def test_builder_imports_obj_scene(tmp_path):
     # default material 0 + red + blue
     assert scene.materials.count == 3
     assert int(scene.instances.material_start[0]) == 1  # DEFAULT → mesh block
+
+
+def test_flat_u32_texel_gather_matches_row_gather(sphere_scene):
+    """shade_hits' large-pool flat packed-RGB8 gather is bit-identical to
+    the [P, 4] row gather (the big-pool branch never runs on CPU-test-size
+    pools, so force texels_u32 onto a small scene and compare frames)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from clraytracer_tpu.camera import Camera
+    from clraytracer_tpu.config import CameraConfig, RenderConfig
+    from clraytracer_tpu.render import frame_inputs_from_camera, render_frame
+
+    scene = sphere_scene
+    W, H = 48, 32
+    cam = Camera.create(CameraConfig(position=(0.13, 0.21, 10.0)), W, H)
+    frame = frame_inputs_from_camera(cam, -1.96)
+    cfg = RenderConfig(width=W, height=H)
+
+    tex = np.asarray(scene.atlas.texels)
+    b = np.round(np.clip(tex, 0.0, 1.0) * 255.0).astype(np.uint32)
+    w32 = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)).astype(np.int32)
+    forced = dataclasses.replace(
+        scene, packed=dataclasses.replace(scene.packed, texels_u32=jnp.asarray(w32))
+    )
+    from clraytracer_tpu.render import TRACERS
+
+    # wavefront drives shade_hits' branch; 'best' drives the fused
+    # kernel's _finish_frame branch
+    for name in ("wavefront", "best"):
+        ref = np.asarray(render_frame(scene, frame, cfg, tracer=TRACERS[name]))
+        got = np.asarray(render_frame(forced, frame, cfg, tracer=TRACERS[name]))
+        np.testing.assert_array_equal(ref, got, err_msg=name)
