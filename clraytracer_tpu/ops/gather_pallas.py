@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 #: rays per grid step (= 16 sublane rows x 128 lanes)
 TILE = 2048
 #: triangle rows per one-hot chunk (MXU contraction dim)
-CHUNK = 512
+CHUNK = 256
 #: largest table the VMEM-resident kernel accepts (3 bf16 planes x 32 wide
 #: at 16k rows = 3 MB, plus the backward's f32 [T, 3W] accumulator)
 TABLE_MAX_ROWS = 16384
