@@ -202,6 +202,9 @@ def test_train_step_2d_reduces_loss(multi_instance_scene):
     target = jnp.asarray(rng.uniform(0, 1, (H, W, 3)).astype(np.float32))
     mesh2 = make_mesh_2d(2, 2)
     scene = replicate_scene(multi_instance_scene, mesh2)
-    loss0, scene1 = train_step_sharded_2d(scene, frame, target, mesh2, lr=50.0)
-    loss1, _ = train_step_sharded_2d(scene1, frame, target, mesh2, lr=50.0)
+    # lr=50 (the 1-D test's value) overshoots on this tiny 16x8 target —
+    # gradient CORRECTNESS is pinned by the parity test above; this only
+    # checks the step descends
+    loss0, scene1 = train_step_sharded_2d(scene, frame, target, mesh2, lr=5.0)
+    loss1, _ = train_step_sharded_2d(scene1, frame, target, mesh2, lr=5.0)
     assert float(loss1) < float(loss0)
