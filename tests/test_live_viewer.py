@@ -107,3 +107,18 @@ def test_viewer_resource_panel(viewer):
     assert frame[:8] == b"\x89PNG\r\n\x1a\n"
     out = json.loads(_get("/open?path=two", timeout=300))
     assert out["instances"] == 2
+
+
+def test_page_theme_and_dragdrop_hooks():
+    """The served page carries the Editor-cosmetics analogues (PARITY
+    residual, GUI.cpp:77-136 / Editor.cpp theme functions): theme
+    selector with CSS variables + persisted choice, and drag-drop of
+    Files-browser entries onto the viewport."""
+    from tools.live_viewer import _PAGE
+
+    assert "setTheme" in _PAGE and "localStorage" in _PAGE
+    for theme in ("light", "classic"):
+        assert f"body.{theme}" in _PAGE
+    assert "ondrop" in _PAGE and "ondragstart" in _PAGE
+    assert "text/clrt-path" in _PAGE
+    assert 'draggable="true"' in _PAGE

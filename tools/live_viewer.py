@@ -39,15 +39,27 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 _PAGE = """<!doctype html>
 <meta charset="utf-8"><title>clraytracer_tpu</title>
 <style>
- body{margin:0;background:#111;color:#ddd;font:13px monospace;display:flex}
+ /* theme variables — the Editor.cpp theme-function analogue (dark /
+    light / classic selectable, persisted in localStorage) */
+ body{--bg:#111;--fg:#ddd;--accent:#7aa2f7}
+ body.light{--bg:#f2f2f2;--fg:#222;--accent:#2255cc}
+ body.classic{--bg:#3a3a3a;--fg:#e0e0c8;--accent:#d9a443}
+ body{margin:0;background:var(--bg);color:var(--fg);font:13px monospace;display:flex}
+ a{color:var(--accent)}
  #v{image-rendering:pixelated;cursor:crosshair}
+ #v.droptarget{outline:3px dashed var(--accent)}
  #panel{padding:10px;min-width:240px}
  input[type=range]{width:160px}
  .mat{margin:2px 0}
+ .file{cursor:grab}
 </style>
 <img id="v" draggable="false">
 <div id="panel">
-  <div>WASD+QE fly &middot; drag to look &middot; click to pick</div>
+  <div>WASD+QE fly &middot; drag to look &middot; click to pick &middot;
+    drag a file onto the view to open it</div>
+  <div>theme <select id="theme" onchange="setTheme(this.value)">
+    <option value="">dark</option><option value="light">light</option>
+    <option value="classic">classic</option></select></div>
   <div>sun <input id="sun" type="range" min="-3.14" max="3.14" step="0.01"></div>
   <div id="mats"></div>
   <pre id="pick"></pre>
@@ -57,6 +69,22 @@ _PAGE = """<!doctype html>
 </div>
 <script>
 const v = document.getElementById('v');
+// theme persistence (Editor.cpp theme functions analogue)
+function setTheme(t) {
+  document.body.className = t;
+  localStorage.setItem('clrt_theme', t);
+}
+setTheme(localStorage.getItem('clrt_theme') || '');
+document.getElementById('theme').value = localStorage.getItem('clrt_theme') || '';
+// drag-drop scene open (GUI.cpp DragUIElement analogue): Files-browser
+// entries are draggable; dropping one on the viewport hot-swaps the scene
+v.ondragover = e => { e.preventDefault(); v.classList.add('droptarget'); };
+v.ondragleave = () => v.classList.remove('droptarget');
+v.ondrop = e => {
+  e.preventDefault(); v.classList.remove('droptarget');
+  const p = e.dataTransfer.getData('text/clrt-path');
+  if (p) openScene(p);
+};
 let keys = {}, dragging = false, lastX=0, lastY=0, busy=false;
 onkeydown = e => keys[e.key.toLowerCase()] = true;
 onkeyup = e => keys[e.key.toLowerCase()] = false;
@@ -108,7 +136,9 @@ async function loadFiles(dir) {
   el.innerHTML = `<div><b>${r.dir}</b></div>` +
     (r.up ? `<div><a href="#" onclick="loadFiles('${r.up}');return false">..</a></div>` : '') +
     r.dirs.map(d => `<div><a href="#" onclick="loadFiles('${d.path}');return false">[${d.name}]</a></div>`).join('') +
-    r.files.map(f => `<div><a href="#" onclick="openScene('${f.path}');return false">${f.name}</a></div>`).join('');
+    r.files.map(f => `<div class="file" draggable="true" ` +
+      `ondragstart="event.dataTransfer.setData('text/clrt-path','${f.path}')">` +
+      `<a href="#" onclick="openScene('${f.path}');return false">${f.name}</a></div>`).join('');
 }
 loadFiles('');
 async function openScene(p) {
